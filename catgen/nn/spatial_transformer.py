@@ -1,0 +1,231 @@
+"""Spatial transformer: affine parameter head -> grid -> bilinear sampling.
+
+TPU-native rebuild of the reference's STN stack
+(/root/reference/models.lua:814-906), which composed
+``nn.AffineTransformMatrixGenerator`` + ``nn.AffineGridGeneratorBHWD`` +
+``nn.BilinearSamplerBHWD`` from the CUDA ``stn`` package — and pinned the
+sampler to the **CPU** because the GPU path was non-deterministic
+(models.lua:888-896). Here the whole stack is pure XLA (vectorized gathers +
+lerp), deterministic on TPU by construction, and differentiable w.r.t. both
+image and grid. A Pallas one-hot-matmul variant of the sampler lives in
+``catgen.kernels.bilinear`` for the MXU-friendly path.
+
+Conventions (matching torch-stn semantics):
+  * normalized coords in [-1, 1], align-corners (−1 ↔ pixel 0, +1 ↔ pixel
+    N−1), (y, x) order;
+  * the affine matrix maps *output* normalized coords to *input* sampling
+    coords (inverse warping);
+  * restricted parameterizations, in order: [angle] if rotation,
+    [scale] if scaling, [tx, ty] if translation (models.lua:822-839);
+    identity bias init = rotation 0, scale 1, translation 0
+    (models.lua:858-860: zero classifier weights, identity bias).
+  * sampling uses border clamping (out-of-range coords read edge pixels),
+    which keeps gradients stable near the boundary.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from catgen.core.module import (Module, Sequential, child_variables,
+                                make_variables, merge_variables)
+from catgen.nn.layers import AvgPool, Conv, Dense, Flatten, LeakyReLU
+
+
+# ---------------------------------------------------------------------------
+# functional pieces
+# ---------------------------------------------------------------------------
+
+
+def affine_matrix(params: jax.Array, allow_rotation: bool,
+                  allow_scaling: bool, allow_translation: bool) -> jax.Array:
+    """Builds (B, 2, 3) affine matrices from restricted parameters (B, P).
+
+    Parameter order matches models.lua:822-834. If no component is allowed,
+    params are the full 6-dof matrix row-major (models.lua:835-839).
+    """
+    b = params.shape[0]
+    if not (allow_rotation or allow_scaling or allow_translation):
+        return params.reshape(b, 2, 3)
+    i = 0
+    if allow_rotation:
+        angle = params[:, i]
+        i += 1
+    else:
+        angle = jnp.zeros((b,), params.dtype)
+    if allow_scaling:
+        scale = params[:, i]
+        i += 1
+    else:
+        scale = jnp.ones((b,), params.dtype)
+    if allow_translation:
+        tx = params[:, i]
+        ty = params[:, i + 1]
+    else:
+        tx = jnp.zeros((b,), params.dtype)
+        ty = jnp.zeros((b,), params.dtype)
+    cos = jnp.cos(angle) * scale
+    sin = jnp.sin(angle) * scale
+    row0 = jnp.stack([cos, -sin, tx], axis=-1)
+    row1 = jnp.stack([sin, cos, ty], axis=-1)
+    return jnp.stack([row0, row1], axis=1)
+
+
+def affine_grid(theta: jax.Array, height: int, width: int) -> jax.Array:
+    """(B,2,3) affine matrices -> (B,H,W,2) normalized sample coords (y,x)."""
+    ys = jnp.linspace(-1.0, 1.0, height, dtype=theta.dtype)
+    xs = jnp.linspace(-1.0, 1.0, width, dtype=theta.dtype)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    base = jnp.stack([gy, gx, jnp.ones_like(gy)], axis=-1)   # (H,W,3)
+    # (B,2,3) @ (H,W,3) -> (B,H,W,2)
+    return jnp.einsum("bij,hwj->bhwi", theta, base)
+
+
+def bilinear_sample(img: jax.Array, coords: jax.Array) -> jax.Array:
+    """Samples NHWC ``img`` at normalized (y, x) ``coords`` (B,Ho,Wo,2).
+
+    Border-clamped bilinear interpolation; differentiable w.r.t. both
+    arguments. Pure gathers + lerp — deterministic on TPU (unlike the
+    reference's GPU sampler, models.lua:888-896).
+    """
+    n, h, w, c = img.shape
+    _, ho, wo, _ = coords.shape
+    fy = (coords[..., 0] + 1.0) * 0.5 * (h - 1)
+    fx = (coords[..., 1] + 1.0) * 0.5 * (w - 1)
+    fy = jnp.clip(fy, 0.0, h - 1)
+    fx = jnp.clip(fx, 0.0, w - 1)
+    y0 = jnp.clip(jnp.floor(fy), 0, h - 2).astype(jnp.int32) if h > 1 else jnp.zeros_like(fy, jnp.int32)
+    x0 = jnp.clip(jnp.floor(fx), 0, w - 2).astype(jnp.int32) if w > 1 else jnp.zeros_like(fx, jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    wy = (fy - y0.astype(fy.dtype))[..., None]
+    wx = (fx - x0.astype(fx.dtype))[..., None]
+
+    flat = img.reshape(n, h * w, c)
+
+    def gather(yi, xi):
+        idx = (yi * w + xi).reshape(n, ho * wo)
+        out = jnp.take_along_axis(flat, idx[:, :, None], axis=1)
+        return out.reshape(n, ho, wo, c)
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x1)
+    v10 = gather(y1, x0)
+    v11 = gather(y1, x1)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return (top * (1 - wy) + bot * wy).astype(img.dtype)
+
+
+def warp_flow(img: jax.Array, flow: jax.Array) -> jax.Array:
+    """``image.warp``-style warping: ``flow`` (B,H,W,2) holds per-output-pixel
+    source *offsets* in pixels (dy, dx); used by the V subsystem's synthetic
+    warp generator (train_v.lua:450-484 equivalent)."""
+    n, h, w, _ = img.shape
+    gy = jnp.arange(h, dtype=img.dtype)[None, :, None]
+    gx = jnp.arange(w, dtype=img.dtype)[None, None, :]
+    sy = gy + flow[..., 0]
+    sx = gx + flow[..., 1]
+    ny = 2.0 * sy / jnp.maximum(h - 1, 1) - 1.0
+    nx = 2.0 * sx / jnp.maximum(w - 1, 1) - 1.0
+    return bilinear_sample(img, jnp.stack([ny, nx], axis=-1))
+
+
+# ---------------------------------------------------------------------------
+# modules
+# ---------------------------------------------------------------------------
+
+
+class AffineParamHead(Module):
+    """Final localization layer: zero-initialized weights, identity bias
+    (models.lua:858-860, per STN paper A.3)."""
+
+    def __init__(self, allow_rotation: bool, allow_scaling: bool,
+                 allow_translation: bool, dtype=jnp.float32):
+        self.flags = (allow_rotation, allow_scaling, allow_translation)
+        self.dtype = dtype
+        n = 0
+        bias = []
+        if allow_rotation:
+            n += 1
+            bias.append(0.0)
+        if allow_scaling:
+            n += 1
+            bias.append(1.0)
+        if allow_translation:
+            n += 2
+            bias.extend([0.0, 0.0])
+        if n == 0:
+            n = 6
+            bias = [1.0, 0.0, 0.0, 0.0, 1.0, 0.0]
+        self.n_params = n
+        self.init_bias = bias
+
+    def init(self, key, x_shape):
+        del key
+        in_features = x_shape[-1]
+        return make_variables({
+            "kernel": jnp.zeros((in_features, self.n_params), self.dtype),
+            "bias": jnp.asarray(self.init_bias, self.dtype),
+        })
+
+    def apply(self, variables, x, *, train=False, rng=None):
+        p = variables["params"]
+        y = jnp.dot(x, p["kernel"],
+                    preferred_element_type=jnp.float32).astype(x.dtype)
+        return y + p["bias"], variables["state"]
+
+    def out_shape(self, x_shape):
+        return x_shape[:-1] + (self.n_params,)
+
+
+def _localization_net(channels_hint: int) -> Sequential:
+    """Localization convnet (models.lua:842-855): avgpool2 -> conv16 ->
+    LeakyReLU -> conv16 -> LeakyReLU -> avgpool2 -> flatten -> dense64 ->
+    LeakyReLU."""
+    del channels_hint
+    return Sequential([
+        AvgPool(2),
+        Conv(16, (3, 3)),
+        LeakyReLU(),
+        Conv(16, (3, 3)),
+        LeakyReLU(),
+        AvgPool(2),
+        Flatten(),
+        Dense(64),
+        LeakyReLU(),
+    ], name="loc")
+
+
+class SpatialTransformer(Module):
+    """Full ST block: localization net -> affine params -> grid -> bilinear
+    resample of the input (models.lua:814-906). Output spatial size equals
+    input spatial size."""
+
+    def __init__(self, allow_rotation: bool, allow_scaling: bool,
+                 allow_translation: bool):
+        self.flags = (allow_rotation, allow_scaling, allow_translation)
+        self.loc = _localization_net(0)
+        self.head = AffineParamHead(*self.flags)
+
+    def init(self, key, x_shape):
+        k1, k2 = jax.random.split(key)
+        loc_vars = self.loc.init(k1, x_shape)
+        head_vars = self.head.init(k2, self.loc.out_shape(x_shape))
+        return merge_variables({"loc": loc_vars, "head": head_vars})
+
+    def apply(self, variables, x, *, train=False, rng=None):
+        feats, loc_state = self.loc.apply(
+            child_variables(variables, "loc"), x, train=train, rng=rng)
+        params, head_state = self.head.apply(
+            child_variables(variables, "head"), feats, train=train, rng=rng)
+        theta = affine_matrix(params.astype(jnp.float32), *self.flags)
+        grid = affine_grid(theta, x.shape[1], x.shape[2])
+        y = bilinear_sample(x, grid.astype(x.dtype))
+        return y, {"loc": loc_state, "head": head_state}
+
+    def out_shape(self, x_shape):
+        return x_shape

@@ -1,0 +1,305 @@
+"""The GAN training engine: a single jitted two-optimizer step.
+
+Rebuilds /root/reference/adversarial.lua (the per-batch D/G closures driven
+by ``optim.*``) as one compiled XLA program:
+
+  * D phase x D_iterations: half real / half G-fake batch, targets
+    real=1 / fake=0 (adversarial.lua:221-238), BCE, L1/L2 penalty
+    (adversarial.lua:92-98), elementwise grad clamp +-D_clamp (:110-112),
+    and the **rolling-accuracy gate**: the D update is skipped while the
+    mean accuracy over the last ``acc_window`` batches (including the
+    current one) is >= ``d_max_acc`` (adversarial.lua:144-166). Under jit
+    the gate is data-dependent control flow — it becomes a ``lax.cond`` on
+    a circular accuracy buffer carried in ``TrainState``, with optimizer
+    state frozen when gated (matching "skip update but still compute
+    stats", SURVEY.md §7).
+  * G phase x G_iterations: a full batch of fresh uniform(-1,1) noise with
+    flipped labels (targets=1, adversarial.lua:253-255); gradients flow
+    through a frozen D. L1/L2 use the *correct* coefficients (the reference
+    mistakenly uses G_L2 for G's L1 term, adversarial.lua:206 — not
+    replicated), clamp +-G_clamp (:210-212).
+
+Both optimizer states, both parameter sets, BN state and the gate buffer
+live in one ``TrainState`` pytree, so the whole alternating update is a
+single ``jit`` (optionally ``lax.scan``-ed over an epoch of batches and
+``shard_map``-ed over a mesh — see catgen/dist).
+
+Mode semantics match the reference's always-training-mode loop: dropout is
+active in D for both phases and in G; G's BatchNorm uses batch statistics in
+both phases but its running stats are only advanced during the G phase.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from catgen import optim
+from catgen.core.module import Module
+
+
+@dataclasses.dataclass(frozen=True)
+class GanConfig:
+    """Training knobs — the reference's train.lua flag block (train.lua:15-49)."""
+    batch_size: int = 32
+    noise_dim: int = 100
+    d_optimizer: str = "adam"
+    g_optimizer: str = "adam"
+    d_lr: Optional[float] = None          # None -> per-method torch default
+    g_lr: Optional[float] = None
+    d_sgd_lr: float = 0.02                # --D_sgd_lr
+    g_sgd_lr: float = 0.02
+    d_sgd_momentum: float = 0.0
+    g_sgd_momentum: float = 0.0
+    d_adagrad_lr: float = 1e-3            # train.lua:195-198 presets
+    g_adagrad_lr: float = 3e-3
+    d_l1: float = 0.0
+    d_l2: float = 1e-4
+    g_l1: float = 0.0
+    g_l2: float = 0.0
+    d_clamp: float = 1.0
+    g_clamp: float = 5.0
+    d_iterations: int = 1
+    g_iterations: int = 1
+    d_max_acc: float = 1.01
+    acc_window: int = 20                  # train.lua:238: max(20,min(N/bs,250))
+    axis_name: Optional[str] = None       # data-parallel mesh axis
+    compute_dtype: Any = jnp.float32      # bfloat16 for the TPU fast path
+
+    def make_optimizers(self) -> Tuple[optim.Optimizer, optim.Optimizer]:
+        return (self._make(self.d_optimizer, self.d_lr, self.d_sgd_lr,
+                           self.d_sgd_momentum, self.d_adagrad_lr),
+                self._make(self.g_optimizer, self.g_lr, self.g_sgd_lr,
+                           self.g_sgd_momentum, self.g_adagrad_lr))
+
+    @staticmethod
+    def _make(name, lr, sgd_lr, sgd_momentum, adagrad_lr) -> optim.Optimizer:
+        if name == "sgd":
+            return optim.sgd(lr=lr if lr is not None else sgd_lr,
+                             momentum=sgd_momentum)
+        if name == "adagrad":
+            return optim.adagrad(lr=lr if lr is not None else adagrad_lr)
+        if lr is not None:
+            return optim.make(name, lr=lr)
+        return optim.make(name)
+
+
+class TrainState(NamedTuple):
+    g_params: Any
+    g_state: Any          # BN running stats etc.
+    d_params: Any
+    d_state: Any
+    g_opt: Any
+    d_opt: Any
+    acc_buffer: jax.Array  # (acc_window,) rolling D batch accuracies
+    acc_count: jax.Array   # valid entries in the buffer (saturates at W)
+    acc_index: jax.Array   # circular write position
+    step: jax.Array
+    epoch: jax.Array
+
+
+class StepMetrics(NamedTuple):
+    loss_d: jax.Array
+    loss_g: jax.Array
+    acc_d: jax.Array        # last D batch accuracy
+    acc_avg: jax.Array      # rolling mean that drives the gate
+    d_trained: jax.Array    # 1.0 if the D update was applied (last iter)
+    # confusion counts over the last D batch (pred=fake/real x true)
+    tp_real: jax.Array
+    tn_fake: jax.Array
+    fp: jax.Array
+    fn: jax.Array
+
+
+def bce(pred: jax.Array, target: jax.Array, eps: float = 1e-7) -> jax.Array:
+    """nn.BCECriterion (train.lua:181): mean binary cross-entropy over the
+    batch, with clamping for stability."""
+    p = jnp.clip(pred.astype(jnp.float32), eps, 1.0 - eps)
+    t = target.astype(jnp.float32)
+    return -jnp.mean(t * jnp.log(p) + (1.0 - t) * jnp.log1p(-p))
+
+
+def uniform_noise(rng: jax.Array, n: int, noise_dim: int,
+                  dtype=jnp.float32) -> jax.Array:
+    """Noise ~ U(-1, 1), dim 100 by default (nn_utils.lua:35-39)."""
+    return jax.random.uniform(rng, (n, noise_dim), dtype, -1.0, 1.0)
+
+
+def init_state(g: Module, d: Module, config: GanConfig,
+               key: jax.Array, image_shape) -> TrainState:
+    kg, kd = jax.random.split(key)
+    g_vars = g.init(kg, (1, config.noise_dim))
+    d_vars = d.init(kd, (1,) + tuple(image_shape))
+    d_optim, g_optim = config.make_optimizers()
+    return TrainState(
+        g_params=g_vars["params"], g_state=g_vars["state"],
+        d_params=d_vars["params"], d_state=d_vars["state"],
+        g_opt=g_optim.init(g_vars["params"]),
+        d_opt=d_optim.init(d_vars["params"]),
+        acc_buffer=jnp.zeros((config.acc_window,), jnp.float32),
+        acc_count=jnp.zeros((), jnp.int32),
+        acc_index=jnp.zeros((), jnp.int32),
+        step=jnp.zeros((), jnp.int32),
+        epoch=jnp.ones((), jnp.int32),
+    )
+
+
+def _select(pred, a, b):
+    return jax.tree_util.tree_map(
+        lambda x, y: lax.select(pred, x, y), a, b)
+
+
+def make_train_step(g: Module, d: Module, config: GanConfig):
+    """Builds the jitted step: (state, real_images, rng) ->
+    (state, StepMetrics).
+
+    ``real_images`` is the half-batch of reals (batch_size/2, H, W, C) in
+    [0,1] — the step draws its own noise from ``rng``.
+    """
+    d_optim, g_optim = config.make_optimizers()
+    half = config.batch_size // 2
+    cdt = config.compute_dtype
+
+    def d_phase(state: TrainState, reals, rng, it):
+        rng_noise, rng_g, rng_d = jax.random.split(jax.random.fold_in(rng, it), 3)
+        noise = uniform_noise(rng_noise, half, config.noise_dim, cdt)
+        # G in training mode (batch-stat BN, reference semantics), state
+        # updates discarded in the D phase.
+        g_vars = {"params": state.g_params, "state": state.g_state}
+        fakes, _ = g.apply(g_vars, noise, train=True, rng=rng_g)
+        fakes = lax.stop_gradient(fakes)
+        inputs = jnp.concatenate([reals.astype(cdt), fakes], axis=0)
+        targets = jnp.concatenate([jnp.ones((half,)), jnp.zeros((half,))])
+
+        def loss_fn(d_params):
+            out, d_state = d.apply({"params": d_params, "state": state.d_state},
+                                   inputs, train=True, rng=rng_d)
+            return bce(out[:, 0], targets), (out[:, 0], d_state)
+
+        (loss, (out, d_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.d_params)
+        if config.axis_name is not None:
+            grads = lax.pmean(grads, config.axis_name)
+        grads = optim.clamp_and_penalize(
+            grads, state.d_params, config.d_l1, config.d_l2, config.d_clamp)
+
+        # batch confusion / accuracy (adversarial.lua:101-106)
+        pred_real = out > 0.5
+        is_real = targets > 0.5
+        acc = jnp.mean((pred_real == is_real).astype(jnp.float32))
+        if config.axis_name is not None:
+            acc = lax.pmean(acc, config.axis_name)
+        tp = jnp.sum(pred_real & is_real)
+        tn = jnp.sum(~pred_real & ~is_real)
+        fp = jnp.sum(pred_real & ~is_real)
+        fn = jnp.sum(~pred_real & is_real)
+
+        # rolling-accuracy gate (adversarial.lua:144-166): append current
+        # accuracy, average over the valid window, gate on avg < max_acc
+        buf = state.acc_buffer.at[state.acc_index].set(acc)
+        count = jnp.minimum(state.acc_count + 1, config.acc_window)
+        index = (state.acc_index + 1) % config.acc_window
+        acc_avg = jnp.sum(buf) / count.astype(jnp.float32)
+        do_train = acc_avg < config.d_max_acc
+
+        updates, new_opt = d_optim.update(grads, state.d_opt, state.d_params)
+        new_params = optim.apply_updates(state.d_params, updates)
+        d_params = _select(do_train, new_params, state.d_params)
+        d_opt = _select(do_train, new_opt, state.d_opt)
+
+        state = state._replace(
+            d_params=d_params, d_state=d_state, d_opt=d_opt,
+            acc_buffer=buf, acc_count=count, acc_index=index)
+        stats = (loss, acc, acc_avg,
+                 do_train.astype(jnp.float32), tp, tn, fp, fn)
+        return state, stats
+
+    def g_phase(state: TrainState, rng, it):
+        rng_noise, rng_g, rng_d = jax.random.split(
+            jax.random.fold_in(rng, 1000 + it), 3)
+        noise = uniform_noise(rng_noise, config.batch_size,
+                              config.noise_dim, cdt)
+        targets = jnp.ones((config.batch_size,))  # flipped labels
+
+        def loss_fn(g_params):
+            fakes, g_state = g.apply(
+                {"params": g_params, "state": state.g_state},
+                noise, train=True, rng=rng_g)
+            out, _ = d.apply({"params": state.d_params,
+                              "state": state.d_state},
+                             fakes, train=True, rng=rng_d)
+            return bce(out[:, 0], targets), g_state
+
+        (loss, g_state), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.g_params)
+        if config.axis_name is not None:
+            grads = lax.pmean(grads, config.axis_name)
+        grads = optim.clamp_and_penalize(
+            grads, state.g_params, config.g_l1, config.g_l2, config.g_clamp)
+        updates, g_opt = g_optim.update(grads, state.g_opt, state.g_params)
+        g_params = optim.apply_updates(state.g_params, updates)
+        state = state._replace(g_params=g_params, g_state=g_state, g_opt=g_opt)
+        return state, loss
+
+    def train_step(state: TrainState, reals: jax.Array, rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+        d_stats = None
+        for it in range(config.d_iterations):
+            state, d_stats = d_phase(state, reals, rng, it)
+        loss_g = None
+        for it in range(config.g_iterations):
+            state, loss_g = g_phase(state, rng, it)
+        loss_d, acc, acc_avg, trained, tp, tn, fp, fn = d_stats
+        state = state._replace(step=state.step + 1)
+        metrics = StepMetrics(loss_d, loss_g, acc, acc_avg, trained,
+                              tp, tn, fp, fn)
+        return state, metrics
+
+    return train_step
+
+
+def make_train_epoch(g: Module, d: Module, config: GanConfig):
+    """Scans the step over an epoch of pre-batched reals:
+    (state, reals (nb, B/2, H, W, C), rng) -> (state, stacked metrics).
+    One compiled program per epoch — the TPU-throughput path."""
+    step = make_train_step(g, d, config)
+
+    def epoch_fn(state: TrainState, real_batches: jax.Array, rng: jax.Array):
+        def body(carry, batch):
+            st, i = carry
+            st, m = step(st, batch, jax.random.fold_in(rng, i))
+            return (st, i + 1), m
+
+        (state, _), metrics = lax.scan(
+            body, (state, jnp.zeros((), jnp.int32)), real_batches)
+        state = state._replace(epoch=state.epoch + 1)
+        return state, metrics
+
+    return epoch_fn
+
+
+def generate(g: Module, state_or_vars, noise: jax.Array) -> jax.Array:
+    """Batched inference through G in eval mode (nn_utils.lua:45-77)."""
+    if isinstance(state_or_vars, TrainState):
+        variables = {"params": state_or_vars.g_params,
+                     "state": state_or_vars.g_state}
+    else:
+        variables = state_or_vars
+    imgs, _ = g.apply(variables, noise, train=False)
+    return imgs
+
+
+def discriminate(d: Module, state_or_vars, images: jax.Array) -> jax.Array:
+    """Batched D scores in eval mode (for ranking, nn_utils.lua:89-117)."""
+    if isinstance(state_or_vars, TrainState):
+        variables = {"params": state_or_vars.d_params,
+                     "state": state_or_vars.d_state}
+    else:
+        variables = state_or_vars
+    out, _ = d.apply(variables, images, train=False)
+    return out[:, 0]

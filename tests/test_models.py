@@ -1,0 +1,89 @@
+"""Model-zoo tests: every variant builds, runs, has the expected output
+shape, and the flagship parameter counts match the reference's derived sizes
+(SURVEY.md §6: G32up-c ~5.2M, D32_st3 ~6.7M, V32 ~6.3M)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from catgen import models
+from catgen.core.module import param_count
+
+IMG32 = (32, 32, 3)
+IMG16 = (16, 16, 3)
+NOISE = 100
+
+
+def _run(model, key, x_shape, train=False):
+    variables = model.init(key, x_shape)
+    x = jnp.zeros(x_shape, jnp.float32)
+    rng = jax.random.PRNGKey(1)
+    y, _ = model.apply(variables, x, train=train, rng=rng)
+    return variables, y
+
+
+@pytest.mark.parametrize("name,factory", sorted(models.G_REGISTRY.items()))
+def test_generators_output_images(key, name, factory):
+    img = IMG16 if "16" in name else IMG32
+    model = factory(img, NOISE)
+    variables, y = _run(model, key, (2, NOISE))
+    assert y.shape == (2,) + img
+    y = np.asarray(y)
+    assert (y >= 0).all() and (y <= 1).all()  # sigmoid output
+
+
+@pytest.mark.parametrize("name,factory", sorted(models.D_REGISTRY.items()))
+def test_discriminators_output_probs(key, name, factory):
+    img = IMG16 if name.startswith("d16") else IMG32
+    model = factory(img)
+    variables, y = _run(model, key, (2,) + img)
+    assert y.shape == (2, 1)
+    y = np.asarray(y)
+    assert (y >= 0).all() and (y <= 1).all()
+
+
+@pytest.mark.parametrize("name,factory", sorted(models.V_REGISTRY.items()))
+def test_validators_output_softmax(key, name, factory):
+    img = IMG16 if name == "v16" else IMG32
+    model = factory(img)
+    variables, y = _run(model, key, (2,) + img)
+    assert y.shape == (2, 2)
+    np.testing.assert_allclose(np.asarray(y).sum(-1), 1.0, rtol=1e-5)
+
+
+def test_autoencoder_roundtrip_shape(key):
+    model = models.create_G_autoencoder(IMG32, NOISE)
+    variables, y = _run(model, key, (2,) + IMG32)
+    assert y.shape == (2,) + IMG32
+
+
+def test_flagship_param_counts(key):
+    # SURVEY.md §6 derived sizes (models.lua:196-228, 640-711, 765-804)
+    g = models.create_G_decoder_upsampling32c(IMG32, NOISE)
+    n_g = param_count(g.init(key, (1, NOISE)))
+    assert 4.5e6 < n_g < 6.0e6, n_g
+
+    d = models.create_D32_st3(IMG32)
+    n_d = param_count(d.init(key, (1,) + IMG32))
+    assert 6.0e6 < n_d < 7.5e6, n_d
+
+    v = models.create_V32(IMG32)
+    n_v = param_count(v.init(key, (1,) + IMG32))
+    assert 5.5e6 < n_v < 7.0e6, n_v
+
+
+def test_train_mode_runs_with_dropout(key):
+    model = models.create_D32_st3(IMG32)
+    _run(model, key, (2,) + IMG32, train=True)
+
+
+def test_g_then_d_composition(key):
+    g = models.create_G(IMG32, NOISE)
+    d = models.create_D(IMG32)
+    gv = g.init(key, (1, NOISE))
+    dv = d.init(jax.random.fold_in(key, 1), (1,) + IMG32)
+    z = jax.random.uniform(key, (2, NOISE), minval=-1.0, maxval=1.0)
+    imgs, _ = g.apply(gv, z)
+    scores, _ = d.apply(dv, imgs)
+    assert scores.shape == (2, 1)
