@@ -1,0 +1,147 @@
+"""Train-time dataset loader.
+
+Rebuilds /root/reference/dataset.lua with a TPU-grade ingestion policy:
+the reference re-decodes 1000 JPEGs from disk *every epoch* on the host
+(dataset.lua:123-150) — fine at 1k images/epoch, fatal at 20k images/s/chip
+(SURVEY.md §7 "input pipeline throughput"). Here each image is decoded
+**once** into a pinned uint8 host cache (~1.2 GB for the full 100k corpus),
+and per-epoch sampling is an O(batch) numpy gather followed by a single
+host->device transfer; downscale to train resolution and color-space
+conversion run on device (catgen.data.ops / catgen.data.color).
+
+Decoding is pluggable: the multithreaded C++ decoder (native/fastimage) is
+used when built, with a PIL fallback.
+
+Path scanning matches the reference's reproducibility contract — sorted
+file lists (dataset.lua:73-74) — without its per-dir re-sort quirk.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from catgen.data import color as colorlib
+from catgen.data import ops
+
+
+def scan_paths(dirs: Sequence[str], ext: str = "jpg") -> List[str]:
+    """All files with ``ext`` under ``dirs``, one stable global sort
+    (dataset.lua:57-83 semantics)."""
+    paths: List[str] = []
+    for d in dirs:
+        if not os.path.isdir(d):
+            raise FileNotFoundError(f"dataset dir not found: {d}")
+        for name in os.listdir(d):
+            if name.lower().endswith("." + ext.lower()):
+                paths.append(os.path.join(d, name))
+    if not paths:
+        raise FileNotFoundError(f"no *.{ext} files under {list(dirs)}")
+    return sorted(paths)
+
+
+def _decode_pil(path: str, size: int) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        im = im.convert("RGB")
+        if im.size != (size, size):
+            im = im.resize((size, size), Image.BILINEAR)
+        return np.asarray(im, np.uint8)
+
+
+class ImageDataset:
+    """uint8 RAM-cached image corpus with device-side postprocessing.
+
+    Mirrors the reference API surface: ``load_images(start, count)``
+    (sequential, dataset.lua:89-117) and ``load_random_images(count)``
+    (random sample, dataset.lua:123-150), both returning float NHWC arrays
+    in [0,1] at the train scale/colorspace.
+    """
+
+    def __init__(self, dirs: Sequence[str], ext: str = "jpg",
+                 scale: int = 32, colorspace: str = "rgb",
+                 source_size: int = 64, seed: int = 1,
+                 decoder: Optional[str] = None):
+        self.paths = scan_paths(dirs, ext)
+        self.scale = scale
+        self.colorspace = colorspace
+        self.source_size = source_size
+        self._rng = np.random.RandomState(seed)
+        self._cache: Optional[np.ndarray] = None
+        self._decoder = decoder
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    @property
+    def channels(self) -> int:
+        return colorlib.channels(self.colorspace)
+
+    def image_shape(self) -> Tuple[int, int, int]:
+        return (self.scale, self.scale, self.channels)
+
+    # -- host side -----------------------------------------------------
+
+    def _ensure_cache(self) -> np.ndarray:
+        if self._cache is None:
+            self._cache = self._decode_all()
+        return self._cache
+
+    def _decode_all(self) -> np.ndarray:
+        s = self.source_size
+        if self._decoder != "pil":
+            try:
+                from catgen.data import native_decode
+                return native_decode.decode_batch(self.paths, s)
+            except (ImportError, OSError):
+                pass
+        out = np.empty((len(self.paths), s, s, 3), np.uint8)
+        for i, p in enumerate(self.paths):
+            out[i] = _decode_pil(p, s)
+        return out
+
+    def sample_uint8(self, count: int,
+                     rng: Optional[np.random.RandomState] = None) -> np.ndarray:
+        """(count, src, src, 3) uint8 random sample (with replacement when
+        count > corpus, like the reference's per-image randperm reuse)."""
+        cache = self._ensure_cache()
+        r = rng or self._rng
+        replace = count > len(cache)
+        idx = r.choice(len(cache), size=count, replace=replace)
+        return cache[idx]
+
+    def slice_uint8(self, start: int, count: int) -> np.ndarray:
+        cache = self._ensure_cache()
+        return cache[start:start + count]
+
+    # -- device side ---------------------------------------------------
+
+    def postprocess(self, raw_uint8: np.ndarray) -> jax.Array:
+        """uint8 (N,S,S,3) -> float (N,scale,scale,C) in [0,1], on device."""
+        x = jnp.asarray(raw_uint8).astype(jnp.float32) / 255.0
+        if self.scale != x.shape[1]:
+            if x.shape[1] == 2 * self.scale:
+                x = ops.downscale2(x)
+            else:
+                x = ops.resize_bilinear(x, (self.scale, self.scale))
+        return colorlib.rgb_to_colorspace(x, self.colorspace)
+
+    def load_random_images(self, count: int) -> jax.Array:
+        return self.postprocess(self.sample_uint8(count))
+
+    def load_images(self, start: int, count: int) -> jax.Array:
+        return self.postprocess(self.slice_uint8(start, count))
+
+    def epoch_batches(self, n_examples: int, half_batch: int) -> jax.Array:
+        """Pre-batched reals for one scanned epoch:
+        (n_examples // half_batch, half_batch, H, W, C)."""
+        nb = max(n_examples // half_batch, 1)
+        raw = self.sample_uint8(nb * half_batch)
+        x = self.postprocess(raw)
+        return x.reshape((nb, half_batch) + x.shape[1:])

@@ -1,0 +1,9 @@
+from catgen.dist.mesh import (  # noqa: F401
+    DATA_AXIS,
+    fold_in_axis_index,
+    initialize,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+from catgen.dist.dp import make_dp_train_epoch, make_dp_train_step  # noqa: F401

@@ -1,0 +1,94 @@
+"""Data-parallel GAN training over the mesh.
+
+Wraps the single-chip jitted step (catgen/train/gan.py) in ``shard_map``:
+
+  * parameters + optimizer states + gate buffer: replicated (out spec P());
+    they stay bit-identical across devices because gradients and the gate's
+    batch accuracy are ``pmean``-ed inside the step (GanConfig.axis_name);
+  * real images: batch-sharded over the ``data`` axis — each device trains
+    on its local half-batch of reals plus locally generated fakes;
+  * per-device RNG streams via fold_in(axis_index) so noise, dropout and
+    augmentation differ per shard (global batch semantics);
+  * BatchNorm batch statistics are pmean-synced by passing axis_name into
+    the model constructors (catgen.nn.layers.BatchNorm).
+
+Global batch = config.batch_size * mesh size. All collectives ride ICI
+(all-reduce of grads/stats compiled by XLA); nothing crosses hosts except
+via DCN at the jax.distributed layer.
+
+Verified in tests/test_dist.py: the 8-device CPU-simulated DP step matches
+the single-device step on the concatenated batch (SURVEY.md §4(e)).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from catgen.core.module import Module
+from catgen.dist.mesh import DATA_AXIS, fold_in_axis_index
+from catgen.train import gan
+
+
+def _reduce_metrics(metrics: gan.StepMetrics, axis: str) -> gan.StepMetrics:
+    """Losses/accuracies pmean-ed; confusion counts psum-ed."""
+    return gan.StepMetrics(
+        loss_d=lax.pmean(metrics.loss_d, axis),
+        loss_g=lax.pmean(metrics.loss_g, axis),
+        acc_d=lax.pmean(metrics.acc_d, axis),
+        acc_avg=lax.pmean(metrics.acc_avg, axis),
+        d_trained=lax.pmean(metrics.d_trained, axis),
+        tp_real=lax.psum(metrics.tp_real, axis),
+        tn_fake=lax.psum(metrics.tn_fake, axis),
+        fp=lax.psum(metrics.fp, axis),
+        fn=lax.psum(metrics.fn, axis),
+    )
+
+
+def make_dp_train_step(g: Module, d: Module, config: gan.GanConfig,
+                       mesh: Mesh):
+    """(state, reals (ndev*B/2, H, W, C), rng) -> (state, metrics), compiled
+    once over the mesh. ``config.axis_name`` must equal the mesh data axis.
+    """
+    axis = config.axis_name or DATA_AXIS
+    assert axis in mesh.axis_names, (axis, mesh.axis_names)
+    step = gan.make_train_step(g, d, config)
+
+    def dp_step(state, reals, rng):
+        local_rng = fold_in_axis_index(rng, axis)
+        state, metrics = step(state, reals, local_rng)
+        return state, _reduce_metrics(metrics, axis)
+
+    sharded = shard_map(
+        dp_step, mesh=mesh,
+        in_specs=(P(), P(axis), P()),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_dp_train_epoch(g: Module, d: Module, config: gan.GanConfig,
+                        mesh: Mesh):
+    """Epoch scan over pre-batched reals (nb, ndev*B/2, H, W, C)."""
+    axis = config.axis_name or DATA_AXIS
+    assert axis in mesh.axis_names
+    epoch = gan.make_train_epoch(g, d, config)
+
+    def dp_epoch(state, real_batches, rng):
+        local_rng = fold_in_axis_index(rng, axis)
+        state, metrics = epoch(state, real_batches, local_rng)
+        return state, _reduce_metrics(metrics, axis)
+
+    sharded = shard_map(
+        dp_epoch, mesh=mesh,
+        in_specs=(P(), P(None, axis), P()),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(sharded)

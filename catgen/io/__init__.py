@@ -1,0 +1,3 @@
+from catgen.io import checkpoint  # noqa: F401
+from catgen.io.grids import save_grid, sanity_probe_images, to_grid  # noqa: F401
+from catgen.io.metrics import MetricsLogger, confusion_summary  # noqa: F401

@@ -1,0 +1,93 @@
+"""Code-decoupled pytree checkpoints.
+
+The reference checkpoints are ``torch.save``-d live module trees that cannot
+be loaded without ``require``-ing every layer class first
+(/root/reference/train.lua:98-107) and need manual buffer-zeroing to stay
+small (nn_utils.lua:415-451). Here a checkpoint is a plain ``.npz`` of
+pytree leaves keyed by their tree paths plus a JSON metadata blob — no code
+coupling, no live objects, safe across refactors.
+
+Artifact layout mirrors the reference triple (SURVEY.md §5.4):
+  * ``adversarial.ckpt``      — D+G params, both optimizer states, gate
+                                 buffer, epoch, config (train.lua:260)
+  * ``v_<C>x<H>x<W>.ckpt``    — V params/state + epoch (train_v.lua:204-209)
+  * ``g_pretrained_<C>x<H>x<W>_nd<N>.ckpt`` — decoder-only G params
+                                 (pretrain_g.lua:199-214), picked up by
+                                 filename at train start (train.lua:152-162)
+
+Before overwrite, the predecessor is kept as ``<file>.old``
+(train.lua:254-256).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+import jax
+
+
+def _flatten(tree: Any) -> Dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = jax.tree_util.keystr(path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def save(path: str, tree: Any, meta: Optional[Dict[str, Any]] = None) -> None:
+    """Atomically writes leaves + metadata; keeps previous file as .old."""
+    flat = _flatten(tree)
+    buf = io.BytesIO()
+    np.savez(buf, __meta__=np.frombuffer(
+        json.dumps(meta or {}).encode(), dtype=np.uint8), **flat)
+    tmp = path + ".tmp"
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(tmp, "wb") as f:
+        f.write(buf.getvalue())
+    if os.path.exists(path):
+        os.replace(path, path + ".old")
+    os.replace(tmp, path)
+
+
+def load_meta(path: str) -> Dict[str, Any]:
+    with np.load(path) as z:
+        return json.loads(bytes(z["__meta__"]).decode())
+
+
+def load(path: str, template: Any) -> Tuple[Any, Dict[str, Any]]:
+    """Restores a pytree shaped like ``template`` (values ignored) and the
+    metadata dict. Raises KeyError on structure mismatch."""
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["__meta__"]).decode())
+        leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(template)
+        leaves = []
+        for p, leaf in leaves_with_path:
+            key = jax.tree_util.keystr(p)
+            if key not in z:
+                raise KeyError(f"checkpoint {path} missing leaf {key}")
+            arr = z[key]
+            want = np.shape(leaf)
+            if tuple(arr.shape) != tuple(want):
+                raise ValueError(
+                    f"checkpoint leaf {key} shape {arr.shape} != template {want}")
+            leaves.append(arr)
+    return jax.tree_util.tree_unflatten(treedef, leaves), meta
+
+
+def v_filename(channels: int, height: int, width: int) -> str:
+    """train_v.lua's v_CxHxW naming."""
+    return f"v_{channels}x{height}x{width}.ckpt"
+
+
+def g_pretrained_filename(channels: int, height: int, width: int,
+                          noise_dim: int) -> str:
+    """pretrain_g.lua's g_pretrained_CxHxW_nd<N> naming."""
+    return f"g_pretrained_{channels}x{height}x{width}_nd{noise_dim}.ckpt"
+
+
+def adversarial_filename() -> str:
+    return "adversarial.ckpt"

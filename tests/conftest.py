@@ -3,7 +3,11 @@
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The harness environment pins JAX_PLATFORMS=axon (one real TPU chip) and a
+# sitecustomize hook imports jax at interpreter start, so plain env-var
+# setdefault is too late. Force the CPU platform with 8 virtual devices via
+# jax.config before the backend is first used.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -11,6 +15,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np  # noqa: E402

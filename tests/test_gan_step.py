@@ -1,0 +1,158 @@
+"""GAN train-step tests (SURVEY.md §4(d)): tiny models, jitted step —
+loss decreases, gate semantics, determinism, epoch scan."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from catgen import nn
+from catgen.train import gan
+
+IMG = (8, 8, 1)
+NOISE = 8
+
+
+def tiny_g():
+    return nn.Sequential([
+        nn.Dense(32), nn.PReLU(),
+        nn.Dense(IMG[0] * IMG[1] * IMG[2]), nn.Sigmoid(),
+        nn.Reshape(IMG),
+    ], name="tinyG")
+
+
+def tiny_d():
+    return nn.Sequential([
+        nn.Flatten(), nn.Dense(32), nn.PReLU(), nn.Dense(1), nn.Sigmoid(),
+    ], name="tinyD")
+
+
+def _reals(rng, n):
+    # "real" data: vertical gradient images
+    base = np.linspace(0.2, 0.8, IMG[0], dtype=np.float32)
+    x = np.tile(base[:, None, None], (n, 1, IMG[1], IMG[2])).reshape((n,) + IMG)
+    x += rng.randn(*x.shape).astype(np.float32) * 0.02
+    return jnp.asarray(np.clip(x, 0, 1))
+
+
+def _setup(cfg=None):
+    g, d = tiny_g(), tiny_d()
+    config = cfg or gan.GanConfig(batch_size=16, noise_dim=NOISE,
+                                  acc_window=4)
+    key = jax.random.PRNGKey(0)
+    state = gan.init_state(g, d, config, key, IMG)
+    step = jax.jit(gan.make_train_step(g, d, config))
+    return g, d, config, state, step
+
+
+def test_step_runs_and_updates_both_networks(rng):
+    g, d, config, state, step = _setup()
+    reals = _reals(rng, config.batch_size // 2)
+    new_state, metrics = step(state, reals, jax.random.PRNGKey(1))
+    # both parameter sets moved
+    moved_g = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.g_params,
+        new_state.g_params)
+    moved_d = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.d_params,
+        new_state.d_params)
+    assert max(jax.tree_util.tree_leaves(moved_g)) > 0
+    assert max(jax.tree_util.tree_leaves(moved_d)) > 0
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(metrics.loss_d))
+    assert np.isfinite(float(metrics.loss_g))
+    # confusion counts sum to the batch size
+    total = sum(int(x) for x in (metrics.tp_real, metrics.tn_fake,
+                                 metrics.fp, metrics.fn))
+    assert total == config.batch_size
+
+
+def test_gate_blocks_d_when_max_acc_zero(rng):
+    # d_max_acc = 0 -> rolling accuracy >= 0 always -> never train D
+    cfg = gan.GanConfig(batch_size=16, noise_dim=NOISE, acc_window=4,
+                        d_max_acc=0.0)
+    g, d, config, state, step = _setup(cfg)
+    reals = _reals(rng, config.batch_size // 2)
+    new_state, metrics = step(state, reals, jax.random.PRNGKey(1))
+    for a, b in zip(jax.tree_util.tree_leaves(state.d_params),
+                    jax.tree_util.tree_leaves(new_state.d_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # optimizer state frozen too (reference: optimizer not invoked)
+    assert int(new_state.d_opt.step) == 0
+    assert float(metrics.d_trained) == 0.0
+    # G still trained
+    assert int(new_state.g_opt.step) == 1
+
+
+def test_gate_rolling_window_carried(rng):
+    g, d, config, state, step = _setup()
+    reals = _reals(rng, config.batch_size // 2)
+    s = state
+    for i in range(6):
+        s, m = step(s, reals, jax.random.PRNGKey(i))
+    assert int(s.acc_count) == config.acc_window  # saturated
+    assert 0.0 <= float(m.acc_avg) <= 1.0
+
+
+def test_determinism_same_seed_same_result(rng):
+    g, d, config, state, step = _setup()
+    reals = _reals(rng, config.batch_size // 2)
+    s1, m1 = step(state, reals, jax.random.PRNGKey(42))
+    s2, m2 = step(state, reals, jax.random.PRNGKey(42))
+    for a, b in zip(jax.tree_util.tree_leaves(s1.g_params),
+                    jax.tree_util.tree_leaves(s2.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(m1.loss_g) == float(m2.loss_g)
+
+
+def test_training_improves_d_on_fixed_g(rng):
+    # several steps: D should learn to separate reals from (initially bad)
+    # fakes -> rolling accuracy rises
+    g, d, config, state, step = _setup()
+    s = state
+    accs = []
+    for i in range(20):
+        reals = _reals(rng, config.batch_size // 2)
+        s, m = step(s, reals, jax.random.PRNGKey(i))
+        accs.append(float(m.acc_d))
+    assert np.mean(accs[-5:]) > np.mean(accs[:5]) - 0.05
+    assert np.mean(accs[-5:]) > 0.6
+
+
+def test_epoch_scan_matches_step_loop(rng):
+    g, d, config, state, step = _setup()
+    epoch = jax.jit(gan.make_train_epoch(g, d, config))
+    nb = 3
+    batches = jnp.stack([_reals(rng, config.batch_size // 2)
+                         for _ in range(nb)])
+    base_rng = jax.random.PRNGKey(9)
+    s_scan, metrics = epoch(state, batches, base_rng)
+    s_loop = state
+    for i in range(nb):
+        s_loop, _ = step(s_loop, batches[i], jax.random.fold_in(base_rng, i))
+    assert int(s_scan.step) == int(s_loop.step) == nb
+    assert int(s_scan.epoch) == 2
+    for a, b in zip(jax.tree_util.tree_leaves(s_scan.g_params),
+                    jax.tree_util.tree_leaves(s_loop.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    assert metrics.loss_d.shape == (nb,)
+
+
+def test_d_iterations_static_unroll(rng):
+    cfg = gan.GanConfig(batch_size=16, noise_dim=NOISE, acc_window=4,
+                        d_iterations=2)
+    g, d, config, state, step = _setup(cfg)
+    reals = _reals(rng, config.batch_size // 2)
+    new_state, _ = step(state, reals, jax.random.PRNGKey(1))
+    assert int(new_state.d_opt.step) == 2  # two D updates per step
+    # gate window advanced twice
+    assert int(new_state.acc_count) == 2
+
+
+def test_generate_and_discriminate_helpers(rng):
+    g, d, config, state, step = _setup()
+    noise = gan.uniform_noise(jax.random.PRNGKey(0), 4, NOISE)
+    imgs = gan.generate(g, state, noise)
+    assert imgs.shape == (4,) + IMG
+    scores = gan.discriminate(d, state, imgs)
+    assert scores.shape == (4,)

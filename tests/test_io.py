@@ -1,0 +1,104 @@
+"""io tests: checkpoint round-trip (incl. .old rotation and filename
+conventions), grid writer with epoch stamp, metrics JSONL."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from catgen import nn
+from catgen.io import checkpoint, save_grid, sanity_probe_images, to_grid
+from catgen.io.metrics import MetricsLogger, confusion_summary
+from catgen.train import gan
+
+
+def _tiny_state():
+    img = (8, 8, 1)
+    g = nn.Sequential([nn.Dense(8), nn.Dense(64), nn.Sigmoid(),
+                       nn.Reshape(img)], name="g")
+    d = nn.Sequential([nn.Flatten(), nn.Dense(1), nn.Sigmoid()], name="d")
+    config = gan.GanConfig(batch_size=8, noise_dim=4, acc_window=4)
+    state = gan.init_state(g, d, config, jax.random.PRNGKey(0), img)
+    return state
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = _tiny_state()
+    path = str(tmp_path / "adversarial.ckpt")
+    checkpoint.save(path, state, meta={"epoch": 5, "config": {"bs": 8}})
+    template = _tiny_state()
+    restored, meta = checkpoint.load(path, template)
+    assert meta["epoch"] == 5
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_old_rotation(tmp_path):
+    state = _tiny_state()
+    path = str(tmp_path / "adversarial.ckpt")
+    checkpoint.save(path, state, meta={"epoch": 1})
+    checkpoint.save(path, state, meta={"epoch": 2})
+    assert os.path.exists(path + ".old")
+    assert checkpoint.load_meta(path)["epoch"] == 2
+    assert checkpoint.load_meta(path + ".old")["epoch"] == 1
+
+
+def test_checkpoint_shape_mismatch_raises(tmp_path):
+    state = _tiny_state()
+    path = str(tmp_path / "x.ckpt")
+    checkpoint.save(path, {"w": jnp.zeros((3,))})
+    try:
+        checkpoint.load(path, {"w": jnp.zeros((4,))})
+        assert False, "should raise"
+    except ValueError:
+        pass
+
+
+def test_filenames():
+    assert checkpoint.v_filename(3, 32, 32) == "v_3x32x32.ckpt"
+    assert checkpoint.g_pretrained_filename(3, 32, 32, 100) == \
+        "g_pretrained_3x32x32_nd100.ckpt"
+
+
+def test_grid_writer(tmp_path, rng):
+    imgs = rng.rand(10, 16, 16, 3).astype(np.float32)
+    grid = to_grid(imgs, epoch=123)
+    assert grid.ndim == 3 and grid.shape[-1] == 3
+    p = save_grid(str(tmp_path / "g.png"), imgs, epoch=7)
+    assert os.path.getsize(p) > 0
+    # grayscale input
+    g1 = to_grid(rng.rand(4, 8, 8, 1).astype(np.float32))
+    assert g1.shape[-1] == 3
+
+
+def test_epoch_stamp_changes_pixels(rng):
+    imgs = np.ones((4, 16, 16, 3), np.float32) * 0.5
+    a = to_grid(imgs, epoch=1)
+    b = to_grid(imgs, epoch=888)
+    assert (a != b).any()
+
+
+def test_sanity_probes(rng):
+    real = rng.rand(16, 16, 3).astype(np.float32)
+    probes = sanity_probe_images(real)
+    assert probes.shape == (2, 16, 16, 3)
+    np.testing.assert_allclose(probes[1], real)
+    assert set(np.unique(probes[0])) == {0.0, 1.0}
+
+
+def test_metrics_jsonl(tmp_path):
+    path = str(tmp_path / "m.jsonl")
+    log = MetricsLogger(path, echo=False)
+    log.log("epoch", epoch=1, loss_d=0.5)
+    log.log("epoch", epoch=2, loss_d=0.4)
+    log.close()
+    lines = [json.loads(l) for l in open(path)]
+    assert len(lines) == 2 and lines[1]["epoch"] == 2
+
+
+def test_confusion_summary_format():
+    s = confusion_summary(10, 12, 3, 7)
+    assert "accuracy" in s and "22/32" in s

@@ -96,7 +96,16 @@ def test_st_gradients_reach_localization(key, rng):
         return jnp.sum(jnp.square(y - jnp.roll(x, 1, axis=2)))
 
     grads = jax.grad(loss)(variables["params"])
-    loc_grads = jax.tree_util.tree_leaves(grads["loc"])
+    # at init the head kernel is zero (STN paper A.3), so gradients into the
+    # localization body are exactly zero by the chain rule — the learning
+    # signal enters through the head itself
+    assert float(jnp.abs(grads["head"]["kernel"]).sum()) > 0
+    # after one head perturbation, the loc body receives gradient too
+    perturbed = jax.tree_util.tree_map(lambda x: x, variables["params"])
+    perturbed["head"]["kernel"] = jnp.ones_like(
+        perturbed["head"]["kernel"]) * 0.01
+    grads2 = jax.grad(loss)(perturbed)
+    loc_grads = jax.tree_util.tree_leaves(grads2["loc"])
     assert any(float(jnp.abs(g).sum()) > 0 for g in loc_grads)
 
 
