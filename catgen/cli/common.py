@@ -1,0 +1,45 @@
+"""Shared CLI plumbing: dataset args + the reference's common flags."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from catgen.data.fixture import write_fixture_dataset
+from catgen.data.loader import ImageDataset
+
+
+def add_dataset_args(p: argparse.ArgumentParser):
+    p.add_argument("--dataset", nargs="*", default=None,
+                   help="directories of 64x64 JPEGs "
+                        "(dataset/out_aug_64x64 equivalent)")
+    p.add_argument("--fixture", type=int, default=0,
+                   help="if >0 and no --dataset, generate N synthetic cat "
+                        "faces into <save>/fixture and train on those")
+
+
+def add_common_args(p: argparse.ArgumentParser):
+    p.add_argument("--save", default="logs", help="artifact directory")
+    p.add_argument("--scale", type=int, default=32)
+    p.add_argument("--colorSpace", default="rgb",
+                   choices=["rgb", "yuv", "hsl", "y"])
+    p.add_argument("--noiseDim", type=int, default=100)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--batchSize", type=int, default=32)
+    p.add_argument("--N_epoch", type=int, default=1000)
+    p.add_argument("--devices", type=int, default=1,
+                   help="DP mesh size (1 = single chip)")
+
+
+def build_dataset(args) -> ImageDataset:
+    dirs = args.dataset
+    if not dirs:
+        n = args.fixture or 64
+        fixture_dir = os.path.join(args.save, "fixture")
+        if not os.path.isdir(fixture_dir) or not os.listdir(fixture_dir):
+            print(f"[data] no --dataset given; writing {n} synthetic cat "
+                  f"faces to {fixture_dir}")
+            write_fixture_dataset(fixture_dir, n=n)
+        dirs = [fixture_dir]
+    return ImageDataset(dirs, scale=args.scale, colorspace=args.colorSpace,
+                        seed=args.seed)

@@ -1,0 +1,75 @@
+"""GAN training CLI — ``th train.lua`` equivalent (train.lua:15-49 flag
+set, plus explicit --G/--D model selection per SURVEY.md §5.6).
+
+    python -m catgen.cli.train --fixture 256 --epochs 5
+    python -m catgen.cli.train --dataset /data/out_aug_64x64 --devices 8
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from catgen.cli.common import add_common_args, add_dataset_args, build_dataset
+from catgen.models import D_REGISTRY, G_REGISTRY
+from catgen.train import gan
+from catgen.train.harness import GanHarness, HarnessConfig
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_args(p)
+    add_dataset_args(p)
+    p.add_argument("--saveFreq", type=int, default=30)
+    p.add_argument("--network", default="",
+                   help="checkpoint to resume from")
+    p.add_argument("--rebuildOptstate", action="store_true")
+    p.add_argument("--epochs", type=int, default=None,
+                   help="epochs to run (default: forever, like train.lua)")
+    p.add_argument("--G", default="default", choices=sorted(G_REGISTRY))
+    p.add_argument("--D", default="default", choices=sorted(D_REGISTRY))
+    p.add_argument("--D_optmethod", default="adam",
+                   choices=["adam", "adagrad", "sgd", "rmsprop"])
+    p.add_argument("--G_optmethod", default="adam",
+                   choices=["adam", "adagrad", "sgd", "rmsprop"])
+    p.add_argument("--D_sgd_lr", type=float, default=0.02)
+    p.add_argument("--G_sgd_lr", type=float, default=0.02)
+    p.add_argument("--D_sgd_momentum", type=float, default=0.0)
+    p.add_argument("--G_sgd_momentum", type=float, default=0.0)
+    p.add_argument("--D_L1", type=float, default=0.0)
+    p.add_argument("--D_L2", type=float, default=1e-4)
+    p.add_argument("--G_L1", type=float, default=0.0)
+    p.add_argument("--G_L2", type=float, default=0.0)
+    p.add_argument("--D_iterations", type=int, default=1)
+    p.add_argument("--G_iterations", type=int, default=1)
+    p.add_argument("--D_maxAcc", type=float, default=1.01)
+    p.add_argument("--D_clamp", type=float, default=1.0)
+    p.add_argument("--G_clamp", type=float, default=5.0)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    hc = HarnessConfig(save_dir=args.save, save_freq=args.saveFreq,
+                       n_epoch=args.N_epoch, scale=args.scale,
+                       colorspace=args.colorSpace, noise_dim=args.noiseDim,
+                       seed=args.seed, n_devices=args.devices,
+                       g_model=args.G, d_model=args.D, epochs=args.epochs)
+    gc = gan.GanConfig(
+        batch_size=args.batchSize,
+        d_optimizer=args.D_optmethod, g_optimizer=args.G_optmethod,
+        d_sgd_lr=args.D_sgd_lr, g_sgd_lr=args.G_sgd_lr,
+        d_sgd_momentum=args.D_sgd_momentum,
+        g_sgd_momentum=args.G_sgd_momentum,
+        d_l1=args.D_L1, d_l2=args.D_L2, g_l1=args.G_L1, g_l2=args.G_L2,
+        d_clamp=args.D_clamp, g_clamp=args.G_clamp,
+        d_iterations=args.D_iterations, g_iterations=args.G_iterations,
+        d_max_acc=args.D_maxAcc)
+    dataset = build_dataset(args)
+    harness = GanHarness(hc, gc, dataset)
+    if args.network:
+        harness.resume(args.network, rebuild_optstate=args.rebuildOptstate)
+    harness.train(args.epochs)
+
+
+if __name__ == "__main__":
+    main()

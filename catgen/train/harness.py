@@ -1,0 +1,374 @@
+"""Training harnesses: the orchestration layer the reference spreads over
+train.lua / train_v.lua / pretrain_g.lua main() + epoch loops.
+
+Each harness owns: dataset wiring, model construction, (DP) step
+compilation, the epoch loop with per-epoch visual artifacts (grids with the
+epoch stamp, sanity probes, NaN checks), metrics, checkpoint save/resume
+with the reference's cadence and filename conventions, and the V-rating
+pseudo-validation curve.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from catgen import dist, models
+from catgen.core.module import param_count
+from catgen.data import color as colorlib
+from catgen.data.loader import ImageDataset
+from catgen.io import checkpoint as ckpt
+from catgen.io.grids import save_grid, sanity_probe_images
+from catgen.io.metrics import MetricsLogger, confusion_summary
+from catgen.sample import rank_by_d
+from catgen.train import gan, pretrainer, synthetic, v_trainer
+
+
+@dataclasses.dataclass
+class HarnessConfig:
+    """Shared harness knobs (the common part of the reference flag blocks,
+    SURVEY.md §5.6)."""
+    save_dir: str = "logs"
+    save_freq: int = 30
+    n_epoch: int = 1000           # examples per epoch (train.lua:27)
+    scale: int = 32
+    colorspace: str = "rgb"
+    noise_dim: int = 100
+    seed: int = 1
+    n_devices: int = 1            # DP mesh size (1 = single chip)
+    g_model: str = "default"
+    d_model: str = "default"
+    v_model: str = "default"
+    epochs: Optional[int] = None  # None = run forever (train.lua:223)
+
+    @property
+    def image_shape(self):
+        return (self.scale, self.scale, colorlib.channels(self.colorspace))
+
+
+def _acc_window(n_epoch: int, batch_size: int) -> int:
+    """train.lua:238: max(20, min(N_epoch/batchSize, 250))."""
+    return int(max(20, min(n_epoch / batch_size, 250)))
+
+
+class GanHarness:
+    """th train.lua equivalent (SURVEY.md §3.1)."""
+
+    def __init__(self, hc: HarnessConfig, gc: gan.GanConfig,
+                 dataset: ImageDataset,
+                 logger: Optional[MetricsLogger] = None):
+        self.hc = hc
+        axis = dist.DATA_AXIS if hc.n_devices > 1 else None
+        self.gc = dataclasses.replace(
+            gc, noise_dim=hc.noise_dim, axis_name=axis,
+            acc_window=_acc_window(hc.n_epoch, gc.batch_size))
+        self.dataset = dataset
+        self.logger = logger or MetricsLogger(
+            os.path.join(hc.save_dir, "train_metrics.jsonl"))
+        self.g = models.G_REGISTRY[hc.g_model](hc.image_shape, hc.noise_dim,
+                                               axis_name=axis)
+        self.d = models.D_REGISTRY[hc.d_model](hc.image_shape, axis_name=axis)
+        self.mesh = dist.make_mesh(hc.n_devices) if hc.n_devices > 1 else None
+
+        key = jax.random.PRNGKey(hc.seed)
+        self.state = gan.init_state(self.g, self.d, self.gc, key,
+                                    hc.image_shape)
+        self._maybe_pickup_pretrained_g()
+        if self.mesh is not None:
+            self.state = dist.replicate(self.state, self.mesh)
+            self.epoch_fn = dist.make_dp_train_epoch(self.g, self.d, self.gc,
+                                                     self.mesh)
+        else:
+            self.epoch_fn = jax.jit(gan.make_train_epoch(self.g, self.d,
+                                                         self.gc))
+        # V is inference-only inside the GAN loop (train.lua:119-123)
+        self.v = None
+        self.v_vars = None
+        self._load_v()
+        # fixed visualization noise (train.lua VIS_NOISE_INPUTS)
+        self.vis_noise = gan.uniform_noise(
+            jax.random.PRNGKey(hc.seed + 1), 100, hc.noise_dim)
+        self.logger.log("setup", g_params=param_count(self.state.g_params),
+                        d_params=param_count(self.state.d_params),
+                        acc_window=self.gc.acc_window,
+                        n_devices=hc.n_devices)
+
+    # -- checkpoint plumbing ------------------------------------------
+
+    def _ckpt_path(self) -> str:
+        return os.path.join(self.hc.save_dir, ckpt.adversarial_filename())
+
+    def _maybe_pickup_pretrained_g(self):
+        """train.lua:152-162: if a pretrained decoder exists under the
+        save dir (filename-keyed), load it into G."""
+        h, w, c = self.hc.image_shape
+        path = os.path.join(self.hc.save_dir,
+                            ckpt.g_pretrained_filename(c, h, w,
+                                                       self.hc.noise_dim))
+        if not os.path.exists(path):
+            return
+        template = {"params": self.state.g_params, "state": self.state.g_state}
+        g_vars, meta = ckpt.load(path, template)
+        self.state = self.state._replace(g_params=g_vars["params"],
+                                         g_state=g_vars["state"])
+        self.logger.log("pretrained_g_loaded", path=path,
+                        epoch=meta.get("epoch"))
+
+    def _load_v(self):
+        h, w, c = self.hc.image_shape
+        path = os.path.join(self.hc.save_dir, ckpt.v_filename(c, h, w))
+        if not os.path.exists(path):
+            self.logger.log("v_missing", path=path)
+            return
+        self.v = models.V_REGISTRY[self.hc.v_model](self.hc.image_shape)
+        variables = self.v.init(jax.random.PRNGKey(0),
+                                (1,) + self.hc.image_shape)
+        self.v_vars, _ = ckpt.load(path, variables)
+        self.logger.log("v_loaded", path=path)
+
+    def save(self):
+        meta = {"epoch": int(self.state.epoch),
+                "config": dataclasses.asdict(self.hc),
+                "gan_config": {k: v for k, v in
+                               dataclasses.asdict(self.gc).items()
+                               if not callable(v) and k != "compute_dtype"}}
+        ckpt.save(self._ckpt_path(), self.state, meta)
+        self.logger.log("checkpoint_saved", path=self._ckpt_path(),
+                        epoch=int(self.state.epoch))
+
+    def resume(self, path: Optional[str] = None,
+               rebuild_optstate: bool = False):
+        """train.lua:127-142 (+ --rebuildOptstate, train.lua:44,191)."""
+        path = path or self._ckpt_path()
+        restored, meta = ckpt.load(path, self.state)
+        if rebuild_optstate:
+            d_optim, g_optim = self.gc.make_optimizers()
+            restored = restored._replace(
+                g_opt=g_optim.init(restored.g_params),
+                d_opt=d_optim.init(restored.d_params))
+        self.state = restored
+        if self.mesh is not None:
+            self.state = dist.replicate(self.state, self.mesh)
+        self.logger.log("resumed", path=path, epoch=int(self.state.epoch))
+
+    # -- epoch loop ----------------------------------------------------
+
+    def _epoch_reals(self) -> jax.Array:
+        half = self.gc.batch_size // 2 * max(self.hc.n_devices, 1)
+        batches = self.dataset.epoch_batches(self.hc.n_epoch, half)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            batches = jax.device_put(
+                batches, NamedSharding(self.mesh,
+                                       P(None, dist.DATA_AXIS, None, None,
+                                         None)))
+        return batches
+
+    def run_epoch(self) -> dict:
+        t0 = time.time()
+        batches = self._epoch_reals()
+        rng = jax.random.fold_in(jax.random.PRNGKey(self.hc.seed),
+                                 int(self.state.epoch))
+        self.state, metrics = self.epoch_fn(self.state, batches, rng)
+        jax.block_until_ready(self.state)
+        dt = time.time() - t0
+        nb = batches.shape[0]
+        n_seen = nb * batches.shape[1]
+        summary = {
+            "epoch": int(self.state.epoch) - 1,
+            "loss_d": float(jnp.mean(metrics.loss_d)),
+            "loss_g": float(jnp.mean(metrics.loss_g)),
+            "acc_d": float(jnp.mean(metrics.acc_d)),
+            "d_trained_frac": float(jnp.mean(metrics.d_trained)),
+            "sec": round(dt, 3),
+            "ms_per_sample": round(1000 * dt / max(n_seen, 1), 4),
+            "imgs_per_sec": round(n_seen / dt, 1),
+        }
+        self.logger.log("epoch", **summary)
+        print(confusion_summary(int(jnp.sum(metrics.tp_real)),
+                                int(jnp.sum(metrics.tn_fake)),
+                                int(jnp.sum(metrics.fp)),
+                                int(jnp.sum(metrics.fn))))
+        return summary
+
+    def visualize(self):
+        """Per-epoch artifacts (nn_utils.visualizeProgress,
+        nn_utils.lua:130-186): 100 fixed-noise samples, D-ranked good/bad
+        grids, sanity probes, NaN check, V rating."""
+        epoch = int(self.state.epoch)
+        imgs = gan.generate(self.g, self.state, self.vis_noise)
+        arr = np.asarray(imgs)
+        if not np.isfinite(arr).all():
+            self.logger.log("nan_detected", epoch=epoch)
+        order, scores = rank_by_d(self.d, self.state, imgs)
+        order = np.asarray(order)
+        rgb = np.asarray(colorlib.colorspace_to_rgb(imgs,
+                                                    self.hc.colorspace))
+        base = self.hc.save_dir
+        save_grid(os.path.join(base, "images", f"epoch_{epoch:06d}.png"),
+                  rgb, epoch=epoch)
+        save_grid(os.path.join(base, "images_good", f"epoch_{epoch:06d}.png"),
+                  rgb[order[:50]], epoch=epoch)
+        save_grid(os.path.join(base, "images_bad", f"epoch_{epoch:06d}.png"),
+                  rgb[order[-50:]], epoch=epoch)
+        # sanity probes: D should dislike the diagonal pattern and like a
+        # real face (nn_utils.lua:136-160)
+        real = np.asarray(self.dataset.load_random_images(1))[0]
+        probes = sanity_probe_images(real)
+        probe_scores = np.asarray(
+            gan.discriminate(self.d, self.state, jnp.asarray(probes)))
+        fields = {"epoch": epoch,
+                  "d_probe_pattern": float(probe_scores[0]),
+                  "d_probe_real": float(probe_scores[1])}
+        if self.v is not None:
+            fields["v_rating_all"] = float(
+                v_trainer.rate_with_v(self.v, self.v_vars, imgs))
+            fields["v_rating_good"] = float(v_trainer.rate_with_v(
+                self.v, self.v_vars, imgs[jnp.asarray(order[:50])]))
+            fields["v_rating_bad"] = float(v_trainer.rate_with_v(
+                self.v, self.v_vars, imgs[jnp.asarray(order[-50:])]))
+        self.logger.log("viz", **fields)
+
+    def train(self, epochs: Optional[int] = None):
+        epochs = epochs if epochs is not None else self.hc.epochs
+        done = 0
+        while epochs is None or done < epochs:
+            self.visualize()
+            self.run_epoch()
+            done += 1
+            if int(self.state.epoch) % self.hc.save_freq == 0:
+                self.save()
+        self.save()
+
+
+class VHarness:
+    """th train_v.lua equivalent (SURVEY.md §3.2)."""
+
+    def __init__(self, hc: HarnessConfig, vc: v_trainer.VConfig,
+                 dataset: ImageDataset,
+                 logger: Optional[MetricsLogger] = None):
+        self.hc = hc
+        self.vc = vc
+        self.dataset = dataset
+        self.logger = logger or MetricsLogger(
+            os.path.join(hc.save_dir, "train_v_metrics.jsonl"))
+        self.v = models.V_REGISTRY[hc.v_model](hc.image_shape)
+        self.state = v_trainer.init_state(
+            self.v, vc, jax.random.PRNGKey(hc.seed), hc.image_shape)
+        self.step = jax.jit(v_trainer.make_train_step(self.v, vc))
+        h, w, c = hc.image_shape
+        bank = synthetic.build_overlay_bank(h, w, n=1000, n_points=10000,
+                                            seed=hc.seed)
+        self.factory = synthetic.SyntheticImageFactory(bank, hc.image_shape,
+                                                       seed=hc.seed)
+        self._np = np.random.RandomState(hc.seed)
+        self.logger.log("setup", v_params=param_count(self.state.params))
+
+    def _ckpt_path(self) -> str:
+        h, w, c = self.hc.image_shape
+        return os.path.join(self.hc.save_dir, ckpt.v_filename(c, h, w))
+
+    def save(self):
+        variables = {"params": self.state.params, "state": self.state.state}
+        ckpt.save(self._ckpt_path(), variables,
+                  {"epoch": int(self.state.epoch)})
+        self.logger.log("checkpoint_saved", path=self._ckpt_path(),
+                        epoch=int(self.state.epoch))
+
+    def run_epoch(self) -> dict:
+        t0 = time.time()
+        half = self.vc.batch_size // 2
+        n_batches = max(self.hc.n_epoch // self.vc.batch_size, 1)
+        tot_loss, tot_acc = 0.0, 0.0
+        conf = np.zeros(4, np.int64)
+        cache_reals = self.dataset
+
+        def sample_reals(n):
+            return cache_reals.postprocess(cache_reals.sample_uint8(n))
+
+        m = None
+        for b in range(n_batches):
+            reals = sample_reals(half)
+            fakes = self.factory(half, sample_reals)
+            self.state, m = self.step(self.state, reals, fakes,
+                                      jax.random.PRNGKey(self._np.randint(2**31)))
+            tot_loss += float(m.loss)
+            tot_acc += float(m.acc)
+            conf += np.array([int(m.tp_real), int(m.tn_fake), int(m.fp),
+                              int(m.fn)])
+        dt = time.time() - t0
+        self.state = self.state._replace(epoch=self.state.epoch + 1)
+        summary = {"epoch": int(self.state.epoch) - 1,
+                   "loss": tot_loss / n_batches,
+                   "acc": tot_acc / n_batches,
+                   "sec": round(dt, 3)}
+        self.logger.log("epoch", **summary)
+        print(confusion_summary(*conf))
+        return summary
+
+    def train(self, epochs: int, save_freq: int = 10):
+        for _ in range(epochs):
+            self.run_epoch()
+            if int(self.state.epoch) % save_freq == 0:
+                self.save()
+        self.save()
+
+
+class PretrainHarness:
+    """th pretrain_g.lua equivalent (SURVEY.md §3.3)."""
+
+    def __init__(self, hc: HarnessConfig, pc: pretrainer.PretrainConfig,
+                 dataset: ImageDataset,
+                 logger: Optional[MetricsLogger] = None):
+        self.hc = hc
+        self.pc = dataclasses.replace(pc, noise_dim=hc.noise_dim)
+        self.dataset = dataset
+        self.logger = logger or MetricsLogger(
+            os.path.join(hc.save_dir, "pretrain_metrics.jsonl"))
+        self.ae = models.create_G_autoencoder(hc.image_shape, hc.noise_dim)
+        self.state = pretrainer.init_state(
+            self.ae, self.pc, jax.random.PRNGKey(hc.seed), hc.image_shape)
+        self.step = jax.jit(pretrainer.make_train_step(self.ae, self.pc))
+        self.logger.log("setup", ae_params=param_count(self.state.params))
+
+    def _ckpt_path(self) -> str:
+        h, w, c = self.hc.image_shape
+        return os.path.join(
+            self.hc.save_dir,
+            ckpt.g_pretrained_filename(c, h, w, self.hc.noise_dim))
+
+    def save(self):
+        dec_vars = pretrainer.extract_decoder(self.ae, self.state)
+        ckpt.save(self._ckpt_path(), dec_vars,
+                  {"epoch": int(self.state.epoch)})
+        self.logger.log("checkpoint_saved", path=self._ckpt_path(),
+                        epoch=int(self.state.epoch))
+
+    def run_epoch(self) -> dict:
+        t0 = time.time()
+        n_batches = max(self.hc.n_epoch // self.pc.batch_size, 1)
+        tot = 0.0
+        for b in range(n_batches):
+            imgs = self.dataset.load_random_images(self.pc.batch_size)
+            self.state, loss = self.step(self.state, imgs,
+                                         jax.random.PRNGKey(b))
+            tot += float(loss)
+        self.state = self.state._replace(epoch=self.state.epoch + 1)
+        dt = time.time() - t0
+        summary = {"epoch": int(self.state.epoch) - 1,
+                   "mse": tot / n_batches, "sec": round(dt, 3)}
+        self.logger.log("epoch", **summary)
+        return summary
+
+    def train(self, epochs: int, save_freq: int = 1):
+        for _ in range(epochs):
+            self.run_epoch()
+            if int(self.state.epoch) % save_freq == 0:
+                self.save()
