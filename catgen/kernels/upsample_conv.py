@@ -151,8 +151,18 @@ class UpsampleConv(Module):
         return make_variables(params)
 
     def apply(self, variables, x, *, train=False, rng=None):
+        from catgen.kernels import config as kconfig
+
         p = variables["params"]
-        fn = upsample2_conv if self.fused else upsample2_conv_reference
+        impl = kconfig.upsample_impl if self.fused else "naive"
+        if impl == "pallas":
+            from catgen.kernels.pallas_upsample_conv import upsample2_conv_bias
+            bias = (p["bias"] if self.use_bias
+                    else jnp.zeros((self.features,), p["kernel"].dtype))
+            y = upsample2_conv_bias(x, p["kernel"].astype(x.dtype),
+                                    bias.astype(x.dtype))
+            return y, variables["state"]
+        fn = upsample2_conv if impl == "collapsed" else upsample2_conv_reference
         y = fn(x, p["kernel"])
         if self.use_bias:
             y = y + p["bias"]

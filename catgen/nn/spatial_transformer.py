@@ -224,7 +224,12 @@ class SpatialTransformer(Module):
             child_variables(variables, "head"), feats, train=train, rng=rng)
         theta = affine_matrix(params.astype(jnp.float32), *self.flags)
         grid = affine_grid(theta, x.shape[1], x.shape[2])
-        y = bilinear_sample(x, grid.astype(x.dtype))
+        from catgen.kernels import config as kconfig
+        if kconfig.sampler_impl == "mxu":
+            from catgen.kernels.pallas_bilinear import bilinear_sample_mxu
+            y = bilinear_sample_mxu(x, grid.astype(x.dtype))
+        else:
+            y = bilinear_sample(x, grid.astype(x.dtype))
         return y, {"loc": loc_state, "head": head_state}
 
     def out_shape(self, x_shape):

