@@ -51,15 +51,19 @@ def main():
     reals = jnp.asarray(
         np.random.RandomState(0).rand(half, *IMG).astype(np.float32))
 
-    # warmup / compile
+    # warmup / compile. NOTE: on the axon-tunneled TPU, block_until_ready
+    # returns before device execution completes — only a host fetch truly
+    # synchronizes. All timing below therefore ends with a scalar fetch
+    # from the final chained state (steps form a data-dependency chain, so
+    # fetching the last state bounds the whole run).
     for i in range(3):
         state, metrics = step(state, reals, jax.random.PRNGKey(i))
-    jax.block_until_ready(state)
+    float(jnp.sum(metrics.loss_d))
 
     t0 = time.perf_counter()
     for i in range(steps):
         state, metrics = step(state, reals, jax.random.PRNGKey(100 + i))
-    jax.block_until_ready(state)
+    _ = float(jnp.sum(state.g_opt.step) + metrics.loss_d)
     dt = time.perf_counter() - t0
 
     n_chips = jax.local_device_count()

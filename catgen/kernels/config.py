@@ -19,11 +19,36 @@ from __future__ import annotations
 
 import os
 
-_UPSAMPLE_IMPLS = ("collapsed", "pallas", "naive")
-_SAMPLER_IMPLS = ("xla", "mxu")
+_UPSAMPLE_IMPLS = ("auto", "collapsed", "pallas", "naive")
+_SAMPLER_IMPLS = ("auto", "xla", "mxu")
 
-upsample_impl = os.environ.get("CATGEN_UPSAMPLE_IMPL", "collapsed")
-sampler_impl = os.environ.get("CATGEN_SAMPLER_IMPL", "xla")
+upsample_impl = os.environ.get("CATGEN_UPSAMPLE_IMPL", "auto")
+sampler_impl = os.environ.get("CATGEN_SAMPLER_IMPL", "auto")
+
+
+def _on_tpu() -> bool:
+    import jax
+
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+def resolve_upsample_impl() -> str:
+    """'auto' -> Pallas single-pass kernel on TPU (measured fastest
+    end-to-end, tools/perf_probe.py), XLA collapsed elsewhere."""
+    if upsample_impl != "auto":
+        return upsample_impl
+    return "pallas" if _on_tpu() else "collapsed"
+
+
+def resolve_sampler_impl() -> str:
+    """'auto' -> MXU one-hot matmul kernel on TPU (2-5x faster than the
+    gather formulation, tools/perf_probe.py), XLA gathers elsewhere."""
+    if sampler_impl != "auto":
+        return sampler_impl
+    return "mxu" if _on_tpu() else "xla"
 
 
 def set_upsample_impl(name: str) -> None:

@@ -61,11 +61,21 @@ def _sampler_kernel(h: int, w: int, c: int, ho: int, wo: int, bt: int):
     return kernel_fn
 
 
+def _auto_batch_tile(n, h, w, c, ho, wo,
+                     budget_bytes=10 * 1024 * 1024) -> int:
+    """Fit (double-buffered img+coords+out blocks) + the per-sample one-hot
+    M matrix (Ho*Wo, H*W) fp32 into the VMEM budget."""
+    per_sample = (2 * h * w * c + 2 * ho * wo * 2 + 2 * ho * wo * c
+                  + ho * wo * h * w) * 4
+    return max(min(int(budget_bytes // per_sample), n), 1)
+
+
 def _forward(img: jax.Array, coords: jax.Array, batch_tile: int,
              interpret: bool) -> jax.Array:
     n, h, w, c = img.shape
     _, ho, wo, _ = coords.shape
-    bt = min(batch_tile, n)
+    bt = min(batch_tile if batch_tile > 0
+             else _auto_batch_tile(n, h, w, c, ho, wo), n)
     while n % bt:
         bt -= 1
     kernel_fn = _sampler_kernel(h, w, c, ho, wo, bt)
@@ -87,7 +97,7 @@ def _forward(img: jax.Array, coords: jax.Array, batch_tile: int,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def bilinear_sample_mxu(img: jax.Array, coords: jax.Array,
-                        batch_tile: int = 8,
+                        batch_tile: int = 0,
                         interpret: bool = False) -> jax.Array:
     """Drop-in for spatial_transformer.bilinear_sample (same semantics:
     normalized (y,x) coords, border clamp), forward on the MXU."""
@@ -98,11 +108,104 @@ def _fwd(img, coords, batch_tile, interpret):
     return _forward(img, coords, batch_tile, interpret), (img, coords)
 
 
+def _bwd_kernel(h: int, w: int, c: int, ho: int, wo: int, bt: int):
+    """Backward: d_img = M^T @ g (matmul, no scatter); d_coords from the
+    four corner values (four more one-hot matmuls) chained through the
+    lerp weights."""
+    hw = h * w
+    p = ho * wo
+
+    def kernel_fn(img_ref, coords_ref, g_ref, dimg_ref, dcrd_ref):
+        cols_t = jax.lax.broadcasted_iota(jnp.int32, (hw, p), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (p, hw), 1)
+        for s in range(bt):
+            img = img_ref[s].reshape(hw, c).astype(jnp.float32)
+            g = g_ref[s].reshape(p, c).astype(jnp.float32)
+            crd = coords_ref[s].reshape(p, 2).astype(jnp.float32)
+            fy_raw = (crd[:, 0] + 1.0) * 0.5 * (h - 1)
+            fx_raw = (crd[:, 1] + 1.0) * 0.5 * (w - 1)
+            fy = jnp.clip(fy_raw, 0.0, h - 1)
+            fx = jnp.clip(fx_raw, 0.0, w - 1)
+            in_y = ((fy_raw >= 0.0) & (fy_raw <= h - 1)).astype(jnp.float32)
+            in_x = ((fx_raw >= 0.0) & (fx_raw <= w - 1)).astype(jnp.float32)
+            y0 = jnp.clip(jnp.floor(fy), 0, h - 2).astype(jnp.int32)
+            x0 = jnp.clip(jnp.floor(fx), 0, w - 2).astype(jnp.int32)
+            wy = (fy - y0.astype(jnp.float32))[:, None]
+            wx = (fx - x0.astype(jnp.float32))[:, None]
+            i00c = (y0 * w + x0)[:, None]       # (p, 1)
+            i00r = i00c.reshape(1, p)           # (1, p)
+
+            # ---- d_img: M^T (hw, p) @ g (p, c)
+            w00 = ((1 - wy) * (1 - wx)).reshape(1, p)
+            w01 = ((1 - wy) * wx).reshape(1, p)
+            w10 = (wy * (1 - wx)).reshape(1, p)
+            w11 = (wy * wx).reshape(1, p)
+            mt = ((cols_t == i00r) * w00
+                  + (cols_t == i00r + 1) * w01
+                  + (cols_t == i00r + w) * w10
+                  + (cols_t == i00r + w + 1) * w11)
+            dimg = jnp.dot(mt, g, preferred_element_type=jnp.float32)
+            dimg_ref[s] = dimg.reshape(h, w, c).astype(dimg_ref.dtype)
+
+            # ---- corner values via one-hot matmuls (p, c)
+            v00 = jnp.dot((cols == i00c).astype(jnp.float32), img,
+                          preferred_element_type=jnp.float32)
+            v01 = jnp.dot((cols == i00c + 1).astype(jnp.float32), img,
+                          preferred_element_type=jnp.float32)
+            v10 = jnp.dot((cols == i00c + w).astype(jnp.float32), img,
+                          preferred_element_type=jnp.float32)
+            v11 = jnp.dot((cols == i00c + w + 1).astype(jnp.float32), img,
+                          preferred_element_type=jnp.float32)
+            dfy = jnp.sum(g * ((1 - wx) * (v10 - v00) + wx * (v11 - v01)),
+                          axis=1)
+            dfx = jnp.sum(g * ((1 - wy) * (v01 - v00) + wy * (v11 - v10)),
+                          axis=1)
+            # clip zones kill the gradient; chain to normalized coords
+            dy = dfy * in_y * (0.5 * (h - 1))
+            dx = dfx * in_x * (0.5 * (w - 1))
+            dcrd = jnp.stack([dy, dx], axis=1)   # (p, 2)
+            dcrd_ref[s] = dcrd.reshape(ho, wo, 2).astype(dcrd_ref.dtype)
+
+    return kernel_fn
+
+
+def _backward(img, coords, g, batch_tile: int, interpret: bool):
+    n, h, w, c = img.shape
+    _, ho, wo, _ = coords.shape
+    bt = min(batch_tile if batch_tile > 0
+             else max(_auto_batch_tile(n, h, w, c, ho, wo) // 2, 1), n)
+    while n % bt:
+        bt -= 1
+    kernel_fn = _bwd_kernel(h, w, c, ho, wo, bt)
+    dimg, dcrd = pl.pallas_call(
+        kernel_fn,
+        grid=(n // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, h, w, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, ho, wo, 2), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, ho, wo, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bt, h, w, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, ho, wo, 2), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, h, w, c), img.dtype),
+            jax.ShapeDtypeStruct((n, ho, wo, 2), coords.dtype),
+        ),
+        interpret=interpret,
+    )(img, coords, g)
+    return dimg, dcrd
+
+
 def _bwd(batch_tile, interpret, res, g):
     img, coords = res
-    # same function, XLA formulation -> reuse its VJP for the backward
-    _, vjp = jax.vjp(st_ref.bilinear_sample, img, coords)
-    return vjp(g)
+    return _backward(img, coords, g, batch_tile, interpret)
 
 
 bilinear_sample_mxu.defvjp(_fwd, _bwd)

@@ -94,8 +94,7 @@ def upsample2_conv(x: jax.Array, kernel: jax.Array) -> jax.Array:
                 window_strides=(1, 1),
                 padding=[ph, pw],
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32,
-            ).astype(x.dtype)
+            )
             planes.append(y)
     y = jnp.stack(planes, axis=-2)            # (N,H,W,4,Cout)
     y = y.reshape(n, h, w, 2, 2, cout)
@@ -115,8 +114,7 @@ def upsample2_conv_reference(x: jax.Array, kernel: jax.Array) -> jax.Array:
         window_strides=(1, 1),
         padding=[(p, p), (p, p)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
 
 
 class UpsampleConv(Module):
@@ -154,7 +152,7 @@ class UpsampleConv(Module):
         from catgen.kernels import config as kconfig
 
         p = variables["params"]
-        impl = kconfig.upsample_impl if self.fused else "naive"
+        impl = kconfig.resolve_upsample_impl() if self.fused else "naive"
         if impl == "pallas":
             from catgen.kernels.pallas_upsample_conv import upsample2_conv_bias
             bias = (p["bias"] if self.use_bias
@@ -165,7 +163,7 @@ class UpsampleConv(Module):
         fn = upsample2_conv if impl == "collapsed" else upsample2_conv_reference
         y = fn(x, p["kernel"])
         if self.use_bias:
-            y = y + p["bias"]
+            y = y + p["bias"].astype(x.dtype)
         return y, variables["state"]
 
     def out_shape(self, x_shape):

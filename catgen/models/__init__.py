@@ -1,3 +1,9 @@
+from catgen.models.refine import (  # noqa: F401
+    RefineStage,
+    create_D64,
+    create_G64_stack,
+    create_G_refine64,
+)
 from catgen.models.zoo import (  # noqa: F401
     D_REGISTRY,
     G_REGISTRY,
@@ -25,3 +31,10 @@ from catgen.models.zoo import (  # noqa: F401
     create_V16,
     create_V32,
 )
+
+# registry entries for the 64px pyramid stage (BASELINE.json config #4)
+from catgen.models.zoo import D_REGISTRY as _DR, G_REGISTRY as _GR
+
+_GR["g64_stack"] = create_G64_stack
+_GR["refine64"] = create_G_refine64
+_DR["d64"] = create_D64

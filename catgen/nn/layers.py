@@ -51,10 +51,9 @@ class Dense(Module):
 
     def apply(self, variables, x, *, train=False, rng=None):
         p = variables["params"]
-        y = jnp.dot(x, p["kernel"], preferred_element_type=jnp.float32)
-        y = y.astype(x.dtype)
+        y = jnp.dot(x, p["kernel"].astype(x.dtype))
         if self.use_bias:
-            y = y + p["bias"]
+            y = y + p["bias"].astype(x.dtype)
         return y, variables["state"]
 
     def out_shape(self, x_shape):
@@ -101,15 +100,17 @@ class Conv(Module):
     def apply(self, variables, x, *, train=False, rng=None):
         p = variables["params"]
         ph, pw = self.padding
+        # no preferred_element_type: TPU convs accumulate fp32 internally
+        # for bf16 operands, and a f32-preferred output breaks the
+        # transpose-rhs (kernel-gradient) rule under mixed precision
         y = lax.conv_general_dilated(
             x, p["kernel"].astype(x.dtype),
             window_strides=self.strides,
             padding=[(ph, ph), (pw, pw)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype)
+        )
         if self.use_bias:
-            y = y + p["bias"]
+            y = y + p["bias"].astype(x.dtype)
         return y, variables["state"]
 
     def out_shape(self, x_shape):

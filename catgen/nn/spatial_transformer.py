@@ -174,9 +174,9 @@ class AffineParamHead(Module):
 
     def apply(self, variables, x, *, train=False, rng=None):
         p = variables["params"]
-        y = jnp.dot(x, p["kernel"],
+        y = jnp.dot(x, p["kernel"].astype(x.dtype),
                     preferred_element_type=jnp.float32).astype(x.dtype)
-        return y + p["bias"], variables["state"]
+        return y + p["bias"].astype(x.dtype), variables["state"]
 
     def out_shape(self, x_shape):
         return x_shape[:-1] + (self.n_params,)
@@ -225,9 +225,13 @@ class SpatialTransformer(Module):
         theta = affine_matrix(params.astype(jnp.float32), *self.flags)
         grid = affine_grid(theta, x.shape[1], x.shape[2])
         from catgen.kernels import config as kconfig
-        if kconfig.sampler_impl == "mxu":
-            from catgen.kernels.pallas_bilinear import bilinear_sample_mxu
-            y = bilinear_sample_mxu(x, grid.astype(x.dtype))
+        if kconfig.resolve_sampler_impl() == "mxu":
+            # the separable kernel (v2) measured fastest across all ST
+            # shapes in this model family (tools/perf_probe.py); the dense
+            # one-hot kernel (pallas_bilinear.py) is kept as a reference
+            # implementation
+            from catgen.kernels.pallas_bilinear_v2 import bilinear_sample_sep
+            y = bilinear_sample_sep(x, grid.astype(x.dtype))
         else:
             y = bilinear_sample(x, grid.astype(x.dtype))
         return y, {"loc": loc_state, "head": head_state}

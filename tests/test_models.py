@@ -23,14 +23,38 @@ def _run(model, key, x_shape, train=False):
     return variables, y
 
 
+def _g_image_shape(name):
+    if "16" in name and "64" not in name:
+        return IMG16
+    if "64" in name:
+        return (64, 64, 3)
+    return IMG32
+
+
 @pytest.mark.parametrize("name,factory", sorted(models.G_REGISTRY.items()))
 def test_generators_output_images(key, name, factory):
-    img = IMG16 if "16" in name else IMG32
+    if name == "refine64":
+        return  # image-to-image stage, covered in test_refine_stage
+    img = _g_image_shape(name)
     model = factory(img, NOISE)
     variables, y = _run(model, key, (2, NOISE))
     assert y.shape == (2,) + img
     y = np.asarray(y)
-    assert (y >= 0).all() and (y <= 1).all()  # sigmoid output
+    assert (y >= 0).all() and (y <= 1).all()  # sigmoid/clip output
+
+
+def test_refine_stage(key, rng):
+    refine = models.create_G_refine64((64, 64, 3))
+    variables = refine.init(key, (1, 32, 32, 3))
+    x = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32))
+    y, _ = refine.apply(variables, x)
+    assert y.shape == (2, 64, 64, 3)
+    arr = np.asarray(y)
+    assert (arr >= 0).all() and (arr <= 1).all()
+    # residual form: output stays near the bilinear upsample at init
+    from catgen.data.ops import resize_bilinear
+    base = np.asarray(resize_bilinear(x, (64, 64)))
+    assert np.abs(arr - base).max() < 0.5
 
 
 @pytest.mark.parametrize("name,factory", sorted(models.D_REGISTRY.items()))

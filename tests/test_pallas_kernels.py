@@ -63,3 +63,36 @@ def test_uneven_batch_tile(key, rng):
     want = upsample2_conv_reference(x, w)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# separable MXU sampler (v2)
+# ---------------------------------------------------------------------------
+
+from catgen.kernels.pallas_bilinear import bilinear_sample_mxu  # noqa: E402
+from catgen.kernels.pallas_bilinear_v2 import bilinear_sample_sep  # noqa: E402
+from catgen.nn.spatial_transformer import bilinear_sample  # noqa: E402
+
+
+@pytest.mark.parametrize("impl", ["v1", "v2"])
+def test_mxu_samplers_match_xla(key, rng, impl):
+    img = jnp.asarray(rng.rand(4, 8, 6, 3).astype(np.float32))
+    coords = jnp.asarray(rng.uniform(-1.2, 1.2, (4, 8, 6, 2)).astype(np.float32))
+    fn = bilinear_sample_mxu if impl == "v1" else bilinear_sample_sep
+    got = fn(img, coords, 2, True)
+    want = bilinear_sample(img, coords)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("impl", ["v1", "v2"])
+def test_mxu_sampler_vjp_matches_xla(key, rng, impl):
+    img = jnp.asarray(rng.rand(2, 8, 8, 4).astype(np.float32))
+    coords = jnp.asarray(rng.uniform(-1.1, 1.1, (2, 8, 8, 2)).astype(np.float32))
+    g = jnp.asarray(rng.randn(2, 8, 8, 4).astype(np.float32))
+    fn = bilinear_sample_mxu if impl == "v1" else bilinear_sample_sep
+    _, vjp_mxu = jax.vjp(lambda i, c: fn(i, c, 2, True), img, coords)
+    _, vjp_ref = jax.vjp(bilinear_sample, img, coords)
+    for a, b in zip(vjp_ref(g), vjp_mxu(g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
