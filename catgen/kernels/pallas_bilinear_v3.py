@@ -1,0 +1,194 @@
+"""Pallas TPU kernel v3: separable bilinear sampling, batched contractions.
+
+v2 (pallas_bilinear_v2.py) unrolls a python loop over the samples in a
+block — dozens of tiny (P,W)x(W,HC) matmuls execute serially with poor MXU
+occupancy. v3 builds the per-axis weight tensors for the whole block at
+once (bt,P,W)/(bt,P,H*C) and contracts with batched ``dot_general``
+(batch dim = sample), letting Mosaic schedule one large batched matmul per
+stage. Same math, same interface, ~10x fewer kernel-internal dispatches.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _weights_block(crd, h, w):
+    """crd (bt, P, 2) -> y0,x0 (bt,P) int32, wy,wx,in_y,in_x (bt,P) f32."""
+    fy_raw = (crd[..., 0] + 1.0) * 0.5 * (h - 1)
+    fx_raw = (crd[..., 1] + 1.0) * 0.5 * (w - 1)
+    fy = jnp.clip(fy_raw, 0.0, h - 1)
+    fx = jnp.clip(fx_raw, 0.0, w - 1)
+    in_y = ((fy_raw >= 0.0) & (fy_raw <= h - 1)).astype(jnp.float32)
+    in_x = ((fx_raw >= 0.0) & (fx_raw <= w - 1)).astype(jnp.float32)
+    y0 = jnp.clip(jnp.floor(fy), 0, h - 2).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor(fx), 0, w - 2).astype(jnp.int32)
+    wy = fy - y0.astype(jnp.float32)
+    wx = fx - x0.astype(jnp.float32)
+    return y0, x0, wy, wx, in_y, in_x
+
+
+def _bmm(a, b):
+    """(bt, m, k) x (bt, k, n) -> (bt, m, n), fp32 accumulate."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+
+
+def _fwd_kernel(h: int, w: int, c: int, ho: int, wo: int, bt: int):
+    hw_c = h * c
+    p = ho * wo
+
+    def kernel_fn(img_ref, coords_ref, out_ref):
+        lane_x = jax.lax.broadcasted_iota(jnp.int32, (bt, p, w), 2)
+        y_lane = jax.lax.broadcasted_iota(jnp.int32, (bt, p, hw_c), 2) // c
+        s_rows = jax.lax.broadcasted_iota(jnp.int32, (hw_c, c), 0) % c
+        s_cols = jax.lax.broadcasted_iota(jnp.int32, (hw_c, c), 1)
+        s_mat = (s_rows == s_cols).astype(jnp.float32)
+
+        img_w = img_ref[:].astype(jnp.float32)               # (bt, w, hw_c)
+        crd = coords_ref[:].reshape(bt, p, 2).astype(jnp.float32)
+        y0, x0, wy, wx, _, _ = _weights_block(crd, h, w)
+        b = ((lane_x == x0[..., None]) * (1 - wx)[..., None]
+             + (lane_x == x0[..., None] + 1) * wx[..., None])
+        t = _bmm(b, img_w)                                   # (bt, p, hw_c)
+        ae = ((y_lane == y0[..., None]) * (1 - wy)[..., None]
+              + (y_lane == y0[..., None] + 1) * wy[..., None])
+        prod = (ae * t).reshape(bt * p, hw_c)
+        out = jnp.dot(prod, s_mat, preferred_element_type=jnp.float32)
+        out_ref[:] = out.reshape(bt, ho, wo, c).astype(out_ref.dtype)
+
+    return kernel_fn
+
+
+def _bwd_kernel(h: int, w: int, c: int, ho: int, wo: int, bt: int):
+    hw_c = h * c
+    p = ho * wo
+
+    def kernel_fn(img_ref, coords_ref, g_ref, dimg_ref, dcrd_ref):
+        lane_x = jax.lax.broadcasted_iota(jnp.int32, (bt, p, w), 2)
+        y_lane = jax.lax.broadcasted_iota(jnp.int32, (bt, p, hw_c), 2) // c
+        s_rows = jax.lax.broadcasted_iota(jnp.int32, (hw_c, c), 0) % c
+        s_cols = jax.lax.broadcasted_iota(jnp.int32, (hw_c, c), 1)
+        s_mat_t = (s_rows == s_cols).astype(jnp.float32).T   # (c, hw_c)
+
+        img_w = img_ref[:].astype(jnp.float32)               # (bt, w, hw_c)
+        g = g_ref[:].reshape(bt * p, c).astype(jnp.float32)
+        crd = coords_ref[:].reshape(bt, p, 2).astype(jnp.float32)
+        y0, x0, wy, wx, in_y, in_x = _weights_block(crd, h, w)
+
+        b = ((lane_x == x0[..., None]) * (1 - wx)[..., None]
+             + (lane_x == x0[..., None] + 1) * wx[..., None])
+        ae = ((y_lane == y0[..., None]) * (1 - wy)[..., None]
+              + (y_lane == y0[..., None] + 1) * wy[..., None])
+        g_b = jnp.dot(g, s_mat_t,
+                      preferred_element_type=jnp.float32).reshape(bt, p, hw_c)
+
+        agb = ae * g_b
+        # d_imgW = B^T @ (Ae*gB): (bt, w, p) x (bt, p, hw_c)
+        d_imgw = _bmm(b.transpose(0, 2, 1), agb)
+        dimg_ref[:] = d_imgw.astype(dimg_ref.dtype)
+
+        t = _bmm(b, img_w)
+        d_ae = ((y_lane == y0[..., None] + 1).astype(jnp.float32)
+                - (y_lane == y0[..., None]).astype(jnp.float32))
+        dfy = jnp.sum(d_ae * t * g_b, axis=2)                # (bt, p)
+
+        # U = (Ae*gB) @ imgW^T: (bt, p, hw_c) x (bt, hw_c, w)
+        u = _bmm(agb, img_w.transpose(0, 2, 1))
+        d_b = ((lane_x == x0[..., None] + 1).astype(jnp.float32)
+               - (lane_x == x0[..., None]).astype(jnp.float32))
+        dfx = jnp.sum(d_b * u, axis=2)                       # (bt, p)
+
+        dy = dfy * in_y * (0.5 * (h - 1))
+        dx = dfx * in_x * (0.5 * (w - 1))
+        dcrd = jnp.stack([dy, dx], axis=2)                   # (bt, p, 2)
+        dcrd_ref[:] = dcrd.reshape(bt, ho, wo, 2).astype(dcrd_ref.dtype)
+
+    return kernel_fn
+
+
+def _auto_bt(n, h, w, c, ho, wo, budget=9 * 1024 * 1024) -> int:
+    per_sample = (2 * h * w * c + 2 * ho * wo * 2 + 2 * ho * wo * c
+                  + 4 * ho * wo * h * c + 3 * ho * wo * w) * 4
+    return max(min(int(budget // per_sample), n), 1)
+
+
+def _forward(img, coords, batch_tile, interpret):
+    n, h, w, c = img.shape
+    _, ho, wo, _ = coords.shape
+    bt = min(batch_tile if batch_tile > 0 else _auto_bt(n, h, w, c, ho, wo), n)
+    while n % bt:
+        bt -= 1
+    img_w = img.transpose(0, 2, 1, 3).reshape(n, w, h * c)
+    return pl.pallas_call(
+        _fwd_kernel(h, w, c, ho, wo, bt),
+        grid=(n // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, w, h * c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, ho, wo, 2), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, ho, wo, c), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, ho, wo, c), img.dtype),
+        interpret=interpret,
+    )(img_w, coords)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def bilinear_sample_batched(img: jax.Array, coords: jax.Array,
+                            batch_tile: int = 0,
+                            interpret: bool = False) -> jax.Array:
+    """Batched-contraction MXU bilinear sampler; same semantics as
+    spatial_transformer.bilinear_sample."""
+    return _forward(img, coords, batch_tile, interpret)
+
+
+def _fwd(img, coords, batch_tile, interpret):
+    return _forward(img, coords, batch_tile, interpret), (img, coords)
+
+
+def _bwd(batch_tile, interpret, res, g):
+    img, coords = res
+    n, h, w, c = img.shape
+    _, ho, wo, _ = coords.shape
+    bt = min(batch_tile if batch_tile > 0
+             else max(_auto_bt(n, h, w, c, ho, wo) // 2, 1), n)
+    while n % bt:
+        bt -= 1
+    img_w = img.transpose(0, 2, 1, 3).reshape(n, w, h * c)
+    dimg_w, dcrd = pl.pallas_call(
+        _bwd_kernel(h, w, c, ho, wo, bt),
+        grid=(n // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, w, h * c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, ho, wo, 2), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, ho, wo, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bt, w, h * c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, ho, wo, 2), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, w, h * c), img.dtype),
+            jax.ShapeDtypeStruct((n, ho, wo, 2), coords.dtype),
+        ),
+        interpret=interpret,
+    )(img_w, coords, g)
+    dimg = dimg_w.reshape(n, w, h, c).transpose(0, 2, 1, 3)
+    return dimg, dcrd
+
+
+bilinear_sample_batched.defvjp(_fwd, _bwd)

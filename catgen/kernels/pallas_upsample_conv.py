@@ -240,8 +240,14 @@ def _ucb_fwd(x, kernel, bias):
 
 def _ucb_bwd(res, g):
     x, kernel, bias = res
-    _, vjp = jax.vjp(lambda x_, k_, b_: upsample2_conv(x_, k_) + b_,
-                     x, kernel, bias)
+    import os
+    impl = os.environ.get("CATGEN_UPSAMPLE_BWD", "collapsed")
+    if impl == "collapsed":
+        fn = lambda x_, k_, b_: upsample2_conv(x_, k_) + b_
+    else:
+        from catgen.kernels.upsample_conv import upsample2_conv_reference
+        fn = lambda x_, k_, b_: upsample2_conv_reference(x_, k_) + b_
+    _, vjp = jax.vjp(fn, x, kernel, bias)
     return vjp(g)
 
 

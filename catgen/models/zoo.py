@@ -29,7 +29,8 @@ from catgen.kernels.upsample_conv import UpsampleConv
 from catgen.nn.layers import (AvgPool, BatchNorm, Conv, Dense, Dropout,
                               Flatten, LeakyReLU, MaxPool, PReLU, Reshape,
                               Sigmoid, Softmax, SpatialDropout)
-from catgen.nn.spatial_transformer import SpatialTransformer
+from catgen.nn.spatial_transformer import (FusedSTBranches,
+                                            SpatialTransformer)
 
 ImageShape = Tuple[int, int, int]  # (H, W, C)
 
@@ -276,15 +277,15 @@ def create_D32e(image: ImageShape, axis_name: Optional[str] = None) -> Module:
     ], name="D32e")
 
 
-def _st_branch() -> Sequential:
-    """A D32_st3 transformer branch (models.lua:653-678): ST(rot,scale,
-    trans) -> conv64 -> PReLU -> maxpool -> SpatialDropout(0.2) -> conv64 ->
-    PReLU."""
+def _st_branch_tail() -> Sequential:
+    """A D32_st3 transformer-branch tail (models.lua:653-678, after its
+    ST): conv64 -> PReLU -> maxpool -> SpatialDropout(0.2) -> conv64 ->
+    PReLU. The ST sampling itself is fused across the three branches
+    (FusedSTBranches)."""
     return Sequential([
-        SpatialTransformer(True, True, True),
         Conv(64, (3, 3)), PReLU(), MaxPool(2), SpatialDropout(0.2),
         Conv(64, (3, 3)), PReLU(),
-    ], name="st_branch")
+    ], name="st_tail")
 
 
 def create_D32_st3(image: ImageShape, axis_name: Optional[str] = None) -> Module:
@@ -300,7 +301,8 @@ def create_D32_st3(image: ImageShape, axis_name: Optional[str] = None) -> Module
         Conv(64, (3, 3)), PReLU(),
         Conv(64, (3, 3)), PReLU(),
         AvgPool(2), SpatialDropout(0.2),
-        ConcatBranches([_st_branch(), _st_branch(), _st_branch(), branch4]),
+        FusedSTBranches([_st_branch_tail(), _st_branch_tail(),
+                         _st_branch_tail()], branch4),
         SpatialDropout(0.5),
         Flatten(),
         Dense(256), PReLU(), Dropout(0.5),
@@ -308,13 +310,13 @@ def create_D32_st3(image: ImageShape, axis_name: Optional[str] = None) -> Module
     ], name="D32_st3")
 
 
-def _st_branch16() -> Sequential:
-    """A D16_st3 transformer branch (models.lua:585-604): no pooling."""
+def _st_branch16_tail() -> Sequential:
+    """A D16_st3 transformer-branch tail (models.lua:585-604): no
+    pooling; ST sampling fused across branches."""
     return Sequential([
-        SpatialTransformer(True, True, True),
         Conv(64, (3, 3)), PReLU(),
         Conv(64, (3, 3)), PReLU(),
-    ], name="st_branch")
+    ], name="st_tail")
 
 
 def create_D16_st3(image: ImageShape, axis_name: Optional[str] = None) -> Module:
@@ -327,8 +329,8 @@ def create_D16_st3(image: ImageShape, axis_name: Optional[str] = None) -> Module
         SpatialTransformer(True, False, False),
         Conv(64, (3, 3)), PReLU(),
         Conv(64, (3, 3)), PReLU(),
-        ConcatBranches([_st_branch16(), _st_branch16(), _st_branch16(),
-                        branch4]),
+        FusedSTBranches([_st_branch16_tail(), _st_branch16_tail(),
+                         _st_branch16_tail()], branch4),
         SpatialDropout(0.5),
         Flatten(),
         Dense(256), PReLU(), Dropout(0.5),

@@ -30,8 +30,9 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from catgen.core.module import (Module, Sequential, child_variables,
-                                make_variables, merge_variables)
+from catgen.core.module import (Module, Sequential, _child_rng,
+                                child_variables, make_variables,
+                                merge_variables)
 from catgen.nn.layers import AvgPool, Conv, Dense, Flatten, LeakyReLU
 
 
@@ -230,11 +231,94 @@ class SpatialTransformer(Module):
             # shapes in this model family (tools/perf_probe.py); the dense
             # one-hot kernel (pallas_bilinear.py) is kept as a reference
             # implementation
-            from catgen.kernels.pallas_bilinear_v2 import bilinear_sample_sep
-            y = bilinear_sample_sep(x, grid.astype(x.dtype))
+            from catgen.kernels.pallas_bilinear_v3 import \
+                bilinear_sample_batched
+            y = bilinear_sample_batched(x, grid.astype(x.dtype))
         else:
             y = bilinear_sample(x, grid.astype(x.dtype))
         return y, {"loc": loc_state, "head": head_state}
 
     def out_shape(self, x_shape):
         return x_shape
+
+
+class FusedSTBranches(Module):
+    """The D*_st3 4-way branch block with the three spatial-transformer
+    branches' sampling fused into ONE kernel call.
+
+    All three ST branches sample the same feature map
+    (models.lua:653-678); their grids are concatenated along the row axis
+    so the bilinear kernel runs once with 3x the matmul rows (better MXU
+    utilization, one launch instead of three), then the result is split
+    and each branch tail (convs) runs as usual. The plain conv branch and
+    the channel concat match nn.Concat(2) semantics (models.lua:688-693).
+    """
+
+    def __init__(self, tails, plain, flags=(True, True, True)):
+        assert len(tails) >= 1
+        self.tails = list(tails)
+        self.plain = plain
+        self.flags = tuple(flags)
+        self.locs = [_localization_net(0) for _ in tails]
+        self.heads = [AffineParamHead(*self.flags) for _ in tails]
+
+    def init(self, key, x_shape):
+        children = {}
+        for i in range(len(self.tails)):
+            k = jax.random.fold_in(key, i)
+            k1, k2, k3 = jax.random.split(k, 3)
+            children[f"loc{i}"] = self.locs[i].init(k1, x_shape)
+            children[f"head{i}"] = self.heads[i].init(
+                k2, self.locs[i].out_shape(x_shape))
+            children[f"tail{i}"] = self.tails[i].init(k3, x_shape)
+        children["plain"] = self.plain.init(
+            jax.random.fold_in(key, 99), x_shape)
+        return merge_variables(children)
+
+    def apply(self, variables, x, *, train=False, rng=None):
+        from catgen.kernels import config as kconfig
+
+        n, h, w, _ = x.shape
+        new_state = {}
+        grids = []
+        for i in range(len(self.tails)):
+            feats, st_l = self.locs[i].apply(
+                child_variables(variables, f"loc{i}"), x, train=train,
+                rng=None)
+            params, st_h = self.heads[i].apply(
+                child_variables(variables, f"head{i}"), feats, train=train,
+                rng=None)
+            theta = affine_matrix(params.astype(jnp.float32), *self.flags)
+            grids.append(affine_grid(theta, h, w))
+            new_state[f"loc{i}"] = st_l
+            new_state[f"head{i}"] = st_h
+        stacked = jnp.concatenate(grids, axis=1)  # (N, n_tails*H, W, 2)
+        if kconfig.resolve_sampler_impl() == "mxu":
+            from catgen.kernels.pallas_bilinear_v3 import \
+                bilinear_sample_batched
+            sampled = bilinear_sample_batched(x, stacked.astype(x.dtype))
+        else:
+            sampled = bilinear_sample(x, stacked.astype(x.dtype))
+        outs = []
+        for i in range(len(self.tails)):
+            piece = sampled[:, i * h:(i + 1) * h]
+            y, st_t = self.tails[i].apply(
+                child_variables(variables, f"tail{i}"), piece, train=train,
+                rng=_child_rng(rng, i))
+            outs.append(y)
+            new_state[f"tail{i}"] = st_t
+        y, st_p = self.plain.apply(child_variables(variables, "plain"), x,
+                                   train=train, rng=_child_rng(rng, 99))
+        outs.append(y)
+        new_state["plain"] = st_p
+        return jnp.concatenate(outs, axis=-1), new_state
+
+    def out_shape(self, x_shape):
+        shapes = [t.out_shape(x_shape) for t in self.tails]
+        shapes.append(self.plain.out_shape(x_shape))
+        total_c = sum(s[-1] for s in shapes)
+        return shapes[0][:-1] + (total_c,)
+
+    @property
+    def name(self):
+        return "FusedSTBranches"
