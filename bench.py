@@ -1,18 +1,28 @@
-"""Headline benchmark: combined G+D training images/sec/chip at 32x32.
+"""Headline benchmark: combined G+D training throughput at 32x32.
 
 Runs the flagship configuration — G32up-c vs D32_st3, color 32x32, the
 reference's default models (models.lua:234-240, 268-277) — as the single
-jitted two-optimizer train step and measures steady-state throughput on the
-available chip(s). images/sec counts the per-step training batch
-(``batch_size`` images through the D update AND a same-sized noise batch
-through the G update, the reference's per-example accounting,
-adversarial.lua:277-280).
+jitted two-optimizer train step and measures steady-state throughput.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline is value / 20000 (BASELINE.md target: >= 20k images/sec/chip).
+Accounting ("combined G+D", BASELINE.md): each step trains D on
+``batch_size`` images (half real, half generated; adversarial.lua:221-238)
+AND trains G on a fresh ``batch_size``-noise batch pushed through D
+(adversarial.lua:253-266) — 2*batch_size images consumed by training per
+step. images/sec = 2 * batch_size * steps / wall. The per-network numbers
+are recoverable by halving.
 
-Env knobs: BENCH_BS (per-chip batch, default 512), BENCH_STEPS (timed
-steps, default 30), BENCH_DTYPE (bf16|f32, default bf16).
+Timing honesty: on the axon-tunneled TPU, ``block_until_ready`` returns
+before device execution completes; only a host fetch synchronizes. The
+loop chains steps through the train state and ends with a scalar fetch of
+the final state, which bounds the entire chain (see tools/perf_probe.py).
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"};
+vs_baseline = value / 20000 (BASELINE.md target).
+
+Env knobs: BENCH_BS (per-chip batch, default 512), BENCH_STEPS (default
+20), BENCH_DTYPE (bf16|f32, default bf16), BENCH_MODE (train|infer —
+infer measures the sample.lua batch-inference pipeline: generate 1024,
+D-rank, NN-search vs a 16k-image corpus, BASELINE.json config #5).
 """
 
 import json
@@ -29,51 +39,99 @@ NOISE_DIM = 100
 TARGET = 20000.0
 
 
-def main():
+def _fetch(tree):
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    return float(jnp.sum(leaf.astype(jnp.float32).ravel()[:8]))
+
+
+def bench_train(batch, steps, dtype):
     from catgen import models
     from catgen.train import gan
-
-    batch = int(os.environ.get("BENCH_BS", "512"))
-    steps = int(os.environ.get("BENCH_STEPS", "30"))
-    dtype = (jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16"
-             else jnp.float32)
 
     config = gan.GanConfig(batch_size=batch, noise_dim=NOISE_DIM,
                            acc_window=20, compute_dtype=dtype)
     g = models.create_G_decoder_upsampling32c(IMG, NOISE_DIM)
     d = models.create_D32_st3(IMG)
-
-    key = jax.random.PRNGKey(0)
-    state = gan.init_state(g, d, config, key, IMG)
+    state = gan.init_state(g, d, config, jax.random.PRNGKey(0), IMG)
     step = jax.jit(gan.make_train_step(g, d, config), donate_argnums=(0,))
-
-    half = batch // 2
     reals = jnp.asarray(
-        np.random.RandomState(0).rand(half, *IMG).astype(np.float32))
+        np.random.RandomState(0).rand(batch // 2, *IMG).astype(np.float32))
 
-    # warmup / compile. NOTE: on the axon-tunneled TPU, block_until_ready
-    # returns before device execution completes — only a host fetch truly
-    # synchronizes. All timing below therefore ends with a scalar fetch
-    # from the final chained state (steps form a data-dependency chain, so
-    # fetching the last state bounds the whole run).
     for i in range(3):
         state, metrics = step(state, reals, jax.random.PRNGKey(i))
-    float(jnp.sum(metrics.loss_d))
+    _fetch(state)
 
     t0 = time.perf_counter()
     for i in range(steps):
         state, metrics = step(state, reals, jax.random.PRNGKey(100 + i))
-    _ = float(jnp.sum(state.g_opt.step) + metrics.loss_d)
+    _fetch(state)
     dt = time.perf_counter() - t0
 
     n_chips = jax.local_device_count()
-    imgs_per_sec = steps * batch / dt / n_chips
-    print(json.dumps({
-        "metric": "G+D train images/sec/chip @32x32 (G32up-c vs D32_st3)",
+    imgs_per_sec = 2 * batch * steps / dt / n_chips
+    return {
+        "metric": "combined G+D train images/sec/chip @32x32 "
+                  "(G32up-c vs D32_st3, bf16)",
         "value": round(imgs_per_sec, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec / TARGET, 3),
-    }))
+    }
+
+
+def bench_infer(steps, dtype):
+    """sample.lua pipeline as one jitted program: 1024 generate + D-rank +
+    best-16 NN search against a 16k corpus (sample.lua:89-151 rebuilt;
+    the NN scan is one matmul, SURVEY.md §3.4)."""
+    from catgen import models
+    from catgen.sample.sampler import nearest_neighbours
+    from catgen.train import gan
+
+    g = models.create_G_decoder_upsampling32c(IMG, NOISE_DIM)
+    d = models.create_D32_st3(IMG)
+    gv = g.init(jax.random.PRNGKey(0), (1, NOISE_DIM))
+    dv = d.init(jax.random.PRNGKey(1), (1,) + IMG)
+    corpus = jnp.asarray(np.random.RandomState(0).rand(
+        16384, *IMG).astype(np.float32)).astype(dtype)
+    count = 1024
+
+    @jax.jit
+    def pipeline(rng):
+        noise = gan.uniform_noise(rng, count, NOISE_DIM, dtype)
+        imgs, _ = g.apply(gv, noise, train=False)
+        scores, _ = d.apply(dv, imgs, train=False)
+        order = jnp.argsort(-scores[:, 0])
+        best = imgs[order[:16]]
+        idx, dist = nearest_neighbours(best, corpus)
+        return imgs, scores, idx, dist
+
+    out = pipeline(jax.random.PRNGKey(2))
+    _fetch(out)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        out = pipeline(jax.random.PRNGKey(10 + i))
+    _fetch(out)
+    dt = time.perf_counter() - t0
+    sps = count * steps / dt / jax.local_device_count()
+    return {
+        "metric": "batch inference samples/sec/chip "
+                  "(1024-gen + D-rank + NN-search)",
+        "value": round(sps, 1),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(sps / TARGET, 3),
+    }
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BS", "512"))
+    steps = int(os.environ.get("BENCH_STEPS", "50"))
+    dtype = (jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16"
+             else jnp.float32)
+    mode = os.environ.get("BENCH_MODE", "train")
+    if mode == "infer":
+        result = bench_infer(max(steps, 5), dtype)
+    else:
+        result = bench_train(batch, steps, dtype)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
