@@ -44,16 +44,22 @@ def parse_args(argv=None):
     p.add_argument("--D_maxAcc", type=float, default=1.01)
     p.add_argument("--D_clamp", type=float, default=1.0)
     p.add_argument("--G_clamp", type=float, default=5.0)
+    p.add_argument("--dtype", default="f32", choices=["f32", "bf16"],
+                   help="activation compute dtype (bf16 = TPU fast path)")
+    p.add_argument("--weightsVisFreq", type=int, default=0,
+                   help="write per-layer D activation grids every N epochs")
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
+    import jax.numpy as jnp
     hc = HarnessConfig(save_dir=args.save, save_freq=args.saveFreq,
                        n_epoch=args.N_epoch, scale=args.scale,
                        colorspace=args.colorSpace, noise_dim=args.noiseDim,
                        seed=args.seed, n_devices=args.devices,
-                       g_model=args.G, d_model=args.D, epochs=args.epochs)
+                       g_model=args.G, d_model=args.D, epochs=args.epochs,
+                       weights_vis_freq=args.weightsVisFreq)
     gc = gan.GanConfig(
         batch_size=args.batchSize,
         d_optimizer=args.D_optmethod, g_optimizer=args.G_optmethod,
@@ -63,7 +69,8 @@ def main(argv=None):
         d_l1=args.D_L1, d_l2=args.D_L2, g_l1=args.G_L1, g_l2=args.G_L2,
         d_clamp=args.D_clamp, g_clamp=args.G_clamp,
         d_iterations=args.D_iterations, g_iterations=args.G_iterations,
-        d_max_acc=args.D_maxAcc)
+        d_max_acc=args.D_maxAcc,
+        compute_dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32)
     dataset = build_dataset(args)
     harness = GanHarness(hc, gc, dataset)
     if args.network:

@@ -217,3 +217,20 @@ class Lambda(Stateless):
     @property
     def name(self):
         return self._name
+
+
+def apply_with_intermediates(seq: "Sequential", variables, x, *,
+                             train: bool = False, rng=None):
+    """Runs a Sequential layer-by-layer, returning (y, new_state,
+    [(child_name, activation), ...]) — the debug hook behind the
+    activation viewer (the reference's adversarial.visualizeNetwork,
+    adversarial.lua:307-355)."""
+    intermediates = []
+    new_state = {}
+    for i, layer in enumerate(seq.layers):
+        name = seq._child_name(i)
+        x, st = layer.apply(child_variables(variables, name), x,
+                            train=train, rng=_child_rng(rng, i))
+        new_state[name] = st
+        intermediates.append((name, x))
+    return x, new_state, intermediates

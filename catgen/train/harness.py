@@ -47,6 +47,7 @@ class HarnessConfig:
     d_model: str = "default"
     v_model: str = "default"
     epochs: Optional[int] = None  # None = run forever (train.lua:223)
+    weights_vis_freq: int = 0     # --weightsVisFreq equivalent (train.lua:46)
 
     @property
     def image_shape(self):
@@ -95,6 +96,9 @@ class GanHarness:
         # fixed visualization noise (train.lua VIS_NOISE_INPUTS)
         self.vis_noise = gan.uniform_noise(
             jax.random.PRNGKey(hc.seed + 1), 100, hc.noise_dim)
+        # V-rating history, persisted in the checkpoint like the
+        # reference's PLOT_DATA (train.lua:260)
+        self.plot_data = []
         self.logger.log("setup", g_params=param_count(self.state.g_params),
                         d_params=param_count(self.state.d_params),
                         acc_window=self.gc.acc_window,
@@ -135,6 +139,7 @@ class GanHarness:
 
     def save(self):
         meta = {"epoch": int(self.state.epoch),
+                "plot_data": self.plot_data,
                 "config": dataclasses.asdict(self.hc),
                 "gan_config": {k: v for k, v in
                                dataclasses.asdict(self.gc).items()
@@ -148,6 +153,7 @@ class GanHarness:
         """train.lua:127-142 (+ --rebuildOptstate, train.lua:44,191)."""
         path = path or self._ckpt_path()
         restored, meta = ckpt.load(path, self.state)
+        self.plot_data = list(meta.get("plot_data", []))
         if rebuild_optstate:
             d_optim, g_optim = self.gc.make_optimizers()
             restored = restored._replace(
@@ -234,7 +240,17 @@ class GanHarness:
                 self.v, self.v_vars, imgs[jnp.asarray(order[:50])]))
             fields["v_rating_bad"] = float(v_trainer.rate_with_v(
                 self.v, self.v_vars, imgs[jnp.asarray(order[-50:])]))
+            self.plot_data.append([epoch, fields["v_rating_all"],
+                                   fields["v_rating_good"],
+                                   fields["v_rating_bad"]])
         self.logger.log("viz", **fields)
+        if self.hc.weights_vis_freq and                 epoch % self.hc.weights_vis_freq == 0:
+            from catgen.io.activations import save_activation_grids
+            d_vars = {"params": self.state.d_params,
+                      "state": self.state.d_state}
+            save_activation_grids(
+                self.d, d_vars, imgs[:1],
+                os.path.join(base, "activations", f"epoch_{epoch:06d}"))
 
     def train(self, epochs: Optional[int] = None):
         epochs = epochs if epochs is not None else self.hc.epochs

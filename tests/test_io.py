@@ -102,3 +102,22 @@ def test_metrics_jsonl(tmp_path):
 def test_confusion_summary_format():
     s = confusion_summary(10, 12, 3, 7)
     assert "accuracy" in s and "22/32" in s
+
+
+def test_activation_grids(tmp_path, key, rng):
+    from catgen import nn
+    from catgen.io.activations import save_activation_grids
+    from catgen.core.module import apply_with_intermediates
+    import jax.numpy as jnp
+
+    model = nn.Sequential([nn.Conv(8), nn.PReLU(), nn.MaxPool(2),
+                           nn.Flatten(), nn.Dense(4)])
+    x = jnp.asarray(rng.rand(2, 8, 8, 3).astype(np.float32))
+    variables = model.init(key, x.shape)
+    y, _, inters = apply_with_intermediates(model, variables, x)
+    assert len(inters) == 5
+    assert inters[0][1].shape == (2, 8, 8, 8)
+    assert y.shape == (2, 4)
+    files = save_activation_grids(model, variables, x, str(tmp_path / "act"))
+    assert len(files) >= 4
+    assert all(os.path.getsize(f) > 0 for f in files)
