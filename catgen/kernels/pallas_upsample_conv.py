@@ -242,6 +242,10 @@ def _ucb_bwd(res, g):
     x, kernel, bias = res
     import os
     impl = os.environ.get("CATGEN_UPSAMPLE_BWD", "collapsed")
+    if impl == "pallas":
+        from catgen.kernels.pallas_upsample_conv_bwd import \
+            upsample2_conv_backward
+        return upsample2_conv_backward(x, kernel, g)
     if impl == "collapsed":
         fn = lambda x_, k_, b_: upsample2_conv(x_, k_) + b_
     else:

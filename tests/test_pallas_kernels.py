@@ -96,3 +96,21 @@ def test_mxu_sampler_vjp_matches_xla(key, rng, impl):
     for a, b in zip(vjp_ref(g), vjp_mxu(g)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_upsample_conv_pallas_backward_matches_vjp(key, rng):
+    from catgen.kernels.pallas_upsample_conv_bwd import \
+        upsample2_conv_backward
+    from catgen.kernels.upsample_conv import upsample2_conv
+    for k in (3, 5):
+        x = jnp.asarray(rng.randn(4, 8, 8, 16).astype(np.float32))
+        w = jnp.asarray(rng.randn(k, k, 16, 8).astype(np.float32) * 0.1)
+        b = jnp.asarray(rng.randn(8).astype(np.float32))
+        g = jnp.asarray(rng.randn(4, 16, 16, 8).astype(np.float32))
+        _, vjp = jax.vjp(lambda x_, k_, b_: upsample2_conv(x_, k_) + b_,
+                         x, w, b)
+        want = vjp(g)
+        got = upsample2_conv_backward(x, w, g, interpret=True)
+        for a, b_ in zip(got, want):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-4, atol=1e-4)
