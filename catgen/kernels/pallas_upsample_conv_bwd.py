@@ -77,8 +77,12 @@ def _dw_kernel(h: int, w: int, cin: int, cout: int, bt: int,
                         x, (0, off_h + u, off_w + v, 0),
                         (bt, off_h + u + h, off_w + v + w, cin))
                     xs2 = xs.reshape(bt * h * w, cin)
-                    contrib = jnp.dot(xs2.T, g2,
-                                      preferred_element_type=jnp.float32)
+                    # contract the leading (bt*h*w) dims directly — avoids
+                    # materializing the transpose in VMEM
+                    contrib = jax.lax.dot_general(
+                        xs2, g2,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
 
                     @pl.when(i == 0)
                     def _init(p=p, u=u, v=v, contrib=contrib):

@@ -118,3 +118,16 @@ def test_bilinear_grad_wrt_coords(rng):
 
     g = jax.grad(f)(coords)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_check_grads_bilinear_interior(rng):
+    # numerical gradient check away from the integer-lattice kinks
+    from jax.test_util import check_grads
+    img = jnp.asarray(rng.rand(2, 6, 6, 2).astype(np.float32))
+    coords = jnp.asarray(
+        (rng.rand(2, 3, 3, 2) * 1.4 - 0.7 + 0.013).astype(np.float32))
+
+    check_grads(lambda i: bilinear_sample(i, coords), (img,),
+                order=1, modes=("rev",), atol=1e-2, rtol=1e-2)
+    check_grads(lambda c: bilinear_sample(img, c), (coords,),
+                order=1, modes=("rev",), atol=1e-2, rtol=1e-2)

@@ -52,3 +52,11 @@ def test_module_fused_and_unfused_share_params(key, rng):
     assert y1.shape == (2, 8, 8, 6)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_check_grads_upsample_conv(rng):
+    from jax.test_util import check_grads
+    x = jnp.asarray(rng.randn(2, 4, 4, 3).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 3, 4).astype(np.float32) * 0.1)
+    check_grads(upsample2_conv, (x, k), order=1, modes=("rev",),
+                atol=1e-2, rtol=1e-2)
