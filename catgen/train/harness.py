@@ -224,9 +224,15 @@ class GanHarness:
                   rgb[order[:50]], epoch=epoch)
         save_grid(os.path.join(base, "images_bad", f"epoch_{epoch:06d}.png"),
                   rgb[order[-50:]], epoch=epoch)
+        # real training images for comparison (nn_utils.lua:168-175 shows
+        # an "original images" window beside the generated ones)
+        reals = np.asarray(self.dataset.load_random_images(16))
+        save_grid(os.path.join(base, "images_real", f"epoch_{epoch:06d}.png"),
+                  np.asarray(colorlib.colorspace_to_rgb(
+                      jnp.asarray(reals), self.hc.colorspace)), epoch=epoch)
         # sanity probes: D should dislike the diagonal pattern and like a
         # real face (nn_utils.lua:136-160)
-        real = np.asarray(self.dataset.load_random_images(1))[0]
+        real = reals[0]
         probes = sanity_probe_images(real)
         probe_scores = np.asarray(
             gan.discriminate(self.d, self.state, jnp.asarray(probes)))
