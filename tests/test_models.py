@@ -111,3 +111,17 @@ def test_g_then_d_composition(key):
     imgs, _ = g.apply(gv, z)
     scores, _ = d.apply(dv, imgs)
     assert scores.shape == (2, 1)
+
+
+def test_grayscale_models(key):
+    # --colorSpace=y configs train on 1-channel images (train.lua:52-54)
+    img = (32, 32, 1)
+    g = models.create_G(img, NOISE)
+    d = models.create_D(img)
+    gv = g.init(key, (1, NOISE))
+    dv = d.init(jax.random.fold_in(key, 1), (1,) + img)
+    z = jax.random.uniform(key, (2, NOISE), minval=-1.0, maxval=1.0)
+    imgs, _ = g.apply(gv, z)
+    assert imgs.shape == (2,) + img
+    scores, _ = d.apply(dv, imgs)
+    assert scores.shape == (2, 1)
