@@ -395,7 +395,6 @@ def create_V(image: ImageShape, axis_name: Optional[str] = None) -> Module:
 
 G_REGISTRY = {
     "mlp": create_G_decoder,
-    "g64_stack": None,  # filled below (avoids a circular import)
     "g16up": create_G_decoder_upsampling16,
     "g32up": create_G_decoder_upsampling32,
     "g32up_b": create_G_decoder_upsampling32b,
