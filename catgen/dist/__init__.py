@@ -6,4 +6,8 @@ from catgen.dist.mesh import (  # noqa: F401
     replicate,
     shard_batch,
 )
-from catgen.dist.dp import make_dp_train_epoch, make_dp_train_step  # noqa: F401
+from catgen.dist.dp import (  # noqa: F401
+    make_dp_train_epoch,
+    make_dp_train_step,
+    make_dp_v_step,
+)

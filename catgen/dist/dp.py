@@ -92,3 +92,33 @@ def make_dp_train_epoch(g: Module, d: Module, config: gan.GanConfig,
         check_rep=False,
     )
     return jax.jit(sharded)
+
+
+def make_dp_v_step(v: Module, config, mesh: Mesh):
+    """Data-parallel V train step: (state, reals (ndev*B/2,...),
+    fakes (ndev*B/2,...), rng) -> (state, metrics). Same replication
+    contract as the GAN step (grads/acc pmean-ed inside via
+    config.axis_name)."""
+    from catgen.train import v_trainer
+
+    axis = config.axis_name or DATA_AXIS
+    assert axis in mesh.axis_names
+    step = v_trainer.make_train_step(v, config)
+
+    def dp_step(state, reals, fakes, rng):
+        local_rng = fold_in_axis_index(rng, axis)
+        state, m = step(state, reals, fakes, local_rng)
+        m = v_trainer.VStepMetrics(
+            loss=lax.pmean(m.loss, axis), acc=lax.pmean(m.acc, axis),
+            tp_real=lax.psum(m.tp_real, axis),
+            tn_fake=lax.psum(m.tn_fake, axis),
+            fp=lax.psum(m.fp, axis), fn=lax.psum(m.fn, axis))
+        return state, m
+
+    sharded = shard_map(
+        dp_step, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P()),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(sharded)

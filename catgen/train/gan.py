@@ -70,6 +70,9 @@ class GanConfig:
     acc_window: int = 20                  # train.lua:238: max(20,min(N/bs,250))
     axis_name: Optional[str] = None       # data-parallel mesh axis
     compute_dtype: Any = jnp.float32      # bfloat16 for the TPU fast path
+    remat: bool = False                   # jax.checkpoint the D/G applies
+                                          # (trade FLOPs for memory at
+                                          # large batch, SURVEY.md "HBM")
 
     def make_optimizers(self) -> Tuple[optim.Optimizer, optim.Optimizer]:
         return (self._make(self.d_optimizer, self.d_lr, self.d_sgd_lr,
@@ -165,20 +168,31 @@ def make_train_step(g: Module, d: Module, config: GanConfig):
     half = config.batch_size // 2
     cdt = config.compute_dtype
 
+    def _apply(module):
+        def fn(variables, x, train, rng):
+            return module.apply(variables, x, train=train, rng=rng)
+        if config.remat:
+            return jax.checkpoint(fn, static_argnums=(2,))
+        return fn
+
+    g_apply = _apply(g)
+    d_apply = _apply(d)
+
     def d_phase(state: TrainState, reals, rng, it):
         rng_noise, rng_g, rng_d = jax.random.split(jax.random.fold_in(rng, it), 3)
         noise = uniform_noise(rng_noise, half, config.noise_dim, cdt)
         # G in training mode (batch-stat BN, reference semantics), state
         # updates discarded in the D phase.
         g_vars = {"params": state.g_params, "state": state.g_state}
-        fakes, _ = g.apply(g_vars, noise, train=True, rng=rng_g)
+        fakes, _ = g_apply(g_vars, noise, True, rng_g)
         fakes = lax.stop_gradient(fakes)
         inputs = jnp.concatenate([reals.astype(cdt), fakes], axis=0)
         targets = jnp.concatenate([jnp.ones((half,)), jnp.zeros((half,))])
 
         def loss_fn(d_params):
-            out, d_state = d.apply({"params": d_params, "state": state.d_state},
-                                   inputs, train=True, rng=rng_d)
+            out, d_state = d_apply(
+                {"params": d_params, "state": state.d_state}, inputs,
+                True, rng_d)
             return bce(out[:, 0], targets), (out[:, 0], d_state)
 
         (loss, (out, d_state)), grads = jax.value_and_grad(
@@ -227,12 +241,11 @@ def make_train_step(g: Module, d: Module, config: GanConfig):
         targets = jnp.ones((config.batch_size,))  # flipped labels
 
         def loss_fn(g_params):
-            fakes, g_state = g.apply(
+            fakes, g_state = g_apply(
                 {"params": g_params, "state": state.g_state},
-                noise, train=True, rng=rng_g)
-            out, _ = d.apply({"params": state.d_params,
-                              "state": state.d_state},
-                             fakes, train=True, rng=rng_d)
+                noise, True, rng_g)
+            out, _ = d_apply({"params": state.d_params,
+                              "state": state.d_state}, fakes, True, rng_d)
             return bce(out[:, 0], targets), g_state
 
         (loss, g_state), grads = jax.value_and_grad(

@@ -132,3 +132,22 @@ def test_per_device_rng_differs():
         jax.random.PRNGKey(0))
     rows = np.asarray(out)
     assert len({tuple(np.round(r, 6)) for r in rows}) == 8
+
+
+def test_dp_v_step(rng):
+    from catgen.train import v_trainer
+    mesh = dist.make_mesh(8)
+    config = v_trainer.VConfig(batch_size=8, axis_name="data")
+    v = nn.Sequential([nn.Flatten(), nn.Dense(8), nn.LeakyReLU(),
+                       nn.Dense(2), nn.Softmax()], name="v")
+    state = dist.replicate(
+        v_trainer.init_state(v, config, jax.random.PRNGKey(0), IMG), mesh)
+    step = dist.make_dp_v_step(v, config, mesh)
+    reals = dist.shard_batch(
+        jnp.asarray(rng.rand(8 * 4, *IMG).astype(np.float32)), mesh)
+    fakes = dist.shard_batch(
+        jnp.asarray(rng.rand(8 * 4, *IMG).astype(np.float32)), mesh)
+    new_state, m = step(state, reals, fakes, jax.random.PRNGKey(1))
+    assert int(new_state.step) == 1
+    total = sum(int(x) for x in (m.tp_real, m.tn_fake, m.fp, m.fn))
+    assert total == 8 * config.batch_size

@@ -156,3 +156,22 @@ def test_generate_and_discriminate_helpers(rng):
     assert imgs.shape == (4,) + IMG
     scores = gan.discriminate(d, state, imgs)
     assert scores.shape == (4,)
+
+
+def test_remat_step_matches_plain(rng):
+    cfg_plain = gan.GanConfig(batch_size=16, noise_dim=NOISE, acc_window=4)
+    cfg_remat = gan.GanConfig(batch_size=16, noise_dim=NOISE, acc_window=4,
+                              remat=True)
+    g, d = tiny_g(), tiny_d()
+    key = jax.random.PRNGKey(0)
+    state = gan.init_state(g, d, cfg_plain, key, IMG)
+    reals = _reals(rng, 8)
+    s1, m1 = jax.jit(gan.make_train_step(g, d, cfg_plain))(
+        state, reals, jax.random.PRNGKey(1))
+    s2, m2 = jax.jit(gan.make_train_step(g, d, cfg_remat))(
+        state, reals, jax.random.PRNGKey(1))
+    for a, b in zip(jax.tree_util.tree_leaves(s1.g_params),
+                    jax.tree_util.tree_leaves(s2.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    assert abs(float(m1.loss_g) - float(m2.loss_g)) < 1e-5
