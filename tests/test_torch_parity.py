@@ -1,0 +1,138 @@
+"""Golden parity vs torch (CPU): catgen layers/optimizers implement the
+same math as the Torch modules the reference was built from
+(SURVEY.md §4(a) 'unit tests per kernel/layer against reference math').
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from catgen import nn, optim  # noqa: E402
+from catgen.train.gan import bce  # noqa: E402
+
+
+def _nhwc(t):
+    return np.transpose(t.detach().numpy(), (0, 2, 3, 1))
+
+
+def test_conv_matches_torch(key, rng):
+    x = rng.randn(2, 3, 8, 8).astype(np.float32)  # NCHW for torch
+    tconv = torch.nn.Conv2d(3, 5, 3, padding=1)
+    layer = nn.Conv(5, (3, 3))
+    variables = layer.init(key, (2, 8, 8, 3))
+    # copy torch weights into catgen (OIHW -> HWIO)
+    w = tconv.weight.detach().numpy().transpose(2, 3, 1, 0)
+    variables["params"]["kernel"] = jnp.asarray(w)
+    variables["params"]["bias"] = jnp.asarray(tconv.bias.detach().numpy())
+    want = _nhwc(tconv(torch.from_numpy(x)))
+    got, _ = layer.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_conv5_stride_matches_torch(key, rng):
+    x = rng.randn(2, 4, 16, 16).astype(np.float32)
+    tconv = torch.nn.Conv2d(4, 6, 5, stride=2, padding=2)
+    layer = nn.Conv(6, (5, 5), strides=(2, 2))
+    variables = layer.init(key, (2, 16, 16, 4))
+    variables["params"]["kernel"] = jnp.asarray(
+        tconv.weight.detach().numpy().transpose(2, 3, 1, 0))
+    variables["params"]["bias"] = jnp.asarray(tconv.bias.detach().numpy())
+    want = _nhwc(tconv(torch.from_numpy(x)))
+    got, _ = layer.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_batchnorm_train_matches_torch(key, rng):
+    x = (rng.randn(8, 3, 4, 4) * 2 + 1).astype(np.float32)
+    tbn = torch.nn.BatchNorm2d(3, eps=1e-5, momentum=0.1)
+    tbn.train()
+    want = _nhwc(tbn(torch.from_numpy(x)))
+    layer = nn.BatchNorm()
+    variables = layer.init(key, (8, 4, 4, 3))
+    got, state = layer.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                             train=True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
+    # running stats semantics match torch (momentum 0.1, unbiased var)
+    np.testing.assert_allclose(np.asarray(state["mean"]),
+                               tbn.running_mean.detach().numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(state["var"]),
+                               tbn.running_var.detach().numpy(),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_prelu_matches_torch(key, rng):
+    x = rng.randn(4, 7).astype(np.float32)
+    tp = torch.nn.PReLU()  # single shared 0.25, like the reference
+    want = tp(torch.from_numpy(x)).detach().numpy()
+    layer = nn.PReLU()
+    variables = layer.init(key, (4, 7))
+    got, _ = layer.apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
+
+
+def test_maxpool_avgpool_match_torch(rng):
+    x = rng.randn(2, 3, 8, 8).astype(np.float32)
+    want_max = _nhwc(torch.nn.MaxPool2d(2)(torch.from_numpy(x)))
+    want_avg = _nhwc(torch.nn.AvgPool2d(2)(torch.from_numpy(x)))
+    xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+    got_max = nn.MaxPool(2).forward(xj, train=False, rng=None)
+    got_avg = nn.AvgPool(2).forward(xj, train=False, rng=None)
+    np.testing.assert_allclose(np.asarray(got_max), want_max, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_avg), want_avg, rtol=1e-5)
+
+
+def test_bce_matches_torch(rng):
+    p = rng.rand(16).astype(np.float32) * 0.96 + 0.02
+    t = (rng.rand(16) > 0.5).astype(np.float32)
+    want = torch.nn.BCELoss()(torch.from_numpy(p),
+                              torch.from_numpy(t)).item()
+    got = float(bce(jnp.asarray(p), jnp.asarray(t)))
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_adam_matches_torch(rng):
+    w0 = rng.randn(5).astype(np.float32)
+    g0 = rng.randn(5).astype(np.float32)
+    g1 = rng.randn(5).astype(np.float32)
+
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    topt = torch.optim.Adam([tw], lr=1e-3, betas=(0.9, 0.999), eps=1e-8)
+    for gnp in (g0, g1):
+        topt.zero_grad()
+        tw.grad = torch.from_numpy(gnp.copy())
+        topt.step()
+
+    opt = optim.adam(lr=1e-3)
+    params = {"w": jnp.asarray(w0)}
+    state = opt.init(params)
+    for gnp in (g0, g1):
+        updates, state = opt.update({"w": jnp.asarray(gnp)}, state, params)
+        params = optim.apply_updates(params, updates)
+    np.testing.assert_allclose(np.asarray(params["w"]),
+                               tw.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_sgd_momentum_matches_torch(rng):
+    w0 = rng.randn(4).astype(np.float32)
+    gs = [rng.randn(4).astype(np.float32) for _ in range(3)]
+
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    topt = torch.optim.SGD([tw], lr=0.02, momentum=0.9)
+    for gnp in gs:
+        topt.zero_grad()
+        tw.grad = torch.from_numpy(gnp.copy())
+        topt.step()
+
+    opt = optim.sgd(lr=0.02, momentum=0.9)
+    params = {"w": jnp.asarray(w0)}
+    state = opt.init(params)
+    for gnp in gs:
+        updates, state = opt.update({"w": jnp.asarray(gnp)}, state, params)
+        params = optim.apply_updates(params, updates)
+    np.testing.assert_allclose(np.asarray(params["w"]),
+                               tw.detach().numpy(), rtol=1e-5, atol=1e-6)
