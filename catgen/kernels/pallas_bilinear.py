@@ -15,7 +15,9 @@ materialized in HBM — at B=1024 a dense M would be 4 GB), then one
 The op is differentiable: backward reuses the XLA sampler's VJP (same
 mathematical function), so the kernel is a pure forward-path accelerator
 that can be dropped into the SpatialTransformer via
-``catgen.kernels.config.use_mxu_sampler``.
+``catgen.kernels.config.set_sampler_impl("mxu")`` (the separable v2/v3
+kernels are the measured-fastest default; this dense form is kept as the
+reference implementation).
 """
 
 from __future__ import annotations
