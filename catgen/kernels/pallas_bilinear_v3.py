@@ -116,8 +116,10 @@ def _bwd_kernel(h: int, w: int, c: int, ho: int, wo: int, bt: int):
 
 
 def _auto_bt(n, h, w, c, ho, wo, budget=9 * 1024 * 1024) -> int:
+    # the kernel keeps ~8 live (bt, P, H*C)-shaped fp32 temporaries
+    # (iotas, A/B masks, T, Ae, products) plus the pipeline blocks
     per_sample = (2 * h * w * c + 2 * ho * wo * 2 + 2 * ho * wo * c
-                  + 4 * ho * wo * h * c + 3 * ho * wo * w) * 4
+                  + 8 * ho * wo * h * c + 3 * ho * wo * w) * 4
     return max(min(int(budget // per_sample), n), 1)
 
 
