@@ -125,9 +125,10 @@ def _bwd_kernel(h: int, w: int, c: int, ho: int, wo: int, bt: int):
     return kernel_fn
 
 
-def _auto_bt(n, h, w, c, ho, wo, budget=10 * 1024 * 1024) -> int:
+def _auto_bt(n, h, w, c, ho, wo, budget=9 * 1024 * 1024) -> int:
+    # account for the ~6 live (P, H*C) fp32 temporaries per in-flight sample
     per_sample = (2 * h * w * c + 2 * ho * wo * 2 + 2 * ho * wo * c
-                  + 3 * ho * wo * h * c + 2 * ho * wo * w) * 4
+                  + 6 * ho * wo * h * c + 2 * ho * wo * w) * 4
     return max(min(int(budget // per_sample), n), 1)
 
 
