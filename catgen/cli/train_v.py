@@ -29,7 +29,7 @@ def main(argv=None):
     args = parse_args(argv)
     hc = HarnessConfig(save_dir=args.save, n_epoch=args.N_epoch,
                        scale=args.scale, colorspace=args.colorSpace,
-                       seed=args.seed)
+                       seed=args.seed, n_devices=args.devices)
     vc = v_trainer.VConfig(batch_size=args.batchSize, v_l1=args.V_L1,
                            v_l2=args.V_L2, v_clamp=args.V_clamp)
     dataset = build_dataset(args)

@@ -271,20 +271,28 @@ class GanHarness:
 
 
 class VHarness:
-    """th train_v.lua equivalent (SURVEY.md §3.2)."""
+    """th train_v.lua equivalent (SURVEY.md §3.2). DP over the mesh when
+    hc.n_devices > 1 (reals/fakes batch-sharded, grads pmean-ed)."""
 
     def __init__(self, hc: HarnessConfig, vc: v_trainer.VConfig,
                  dataset: ImageDataset,
                  logger: Optional[MetricsLogger] = None):
         self.hc = hc
-        self.vc = vc
+        axis = dist.DATA_AXIS if hc.n_devices > 1 else None
+        self.vc = dataclasses.replace(vc, axis_name=axis)
         self.dataset = dataset
         self.logger = logger or MetricsLogger(
             os.path.join(hc.save_dir, "train_v_metrics.jsonl"))
-        self.v = models.V_REGISTRY[hc.v_model](hc.image_shape)
+        self.v = models.V_REGISTRY[hc.v_model](hc.image_shape,
+                                               axis_name=axis)
+        self.mesh = dist.make_mesh(hc.n_devices) if hc.n_devices > 1 else None
         self.state = v_trainer.init_state(
-            self.v, vc, jax.random.PRNGKey(hc.seed), hc.image_shape)
-        self.step = jax.jit(v_trainer.make_train_step(self.v, vc))
+            self.v, self.vc, jax.random.PRNGKey(hc.seed), hc.image_shape)
+        if self.mesh is not None:
+            self.state = dist.replicate(self.state, self.mesh)
+            self.step = dist.make_dp_v_step(self.v, self.vc, self.mesh)
+        else:
+            self.step = jax.jit(v_trainer.make_train_step(self.v, self.vc))
         h, w, c = hc.image_shape
         bank = synthetic.build_overlay_bank(h, w, n=1000, n_points=10000,
                                             seed=hc.seed)
@@ -306,7 +314,7 @@ class VHarness:
 
     def run_epoch(self) -> dict:
         t0 = time.time()
-        half = self.vc.batch_size // 2
+        half = self.vc.batch_size // 2 * max(self.hc.n_devices, 1)
         n_batches = max(self.hc.n_epoch // self.vc.batch_size, 1)
         tot_loss, tot_acc = 0.0, 0.0
         conf = np.zeros(4, np.int64)

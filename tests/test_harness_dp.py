@@ -37,3 +37,18 @@ def test_harness_dp_epoch_and_checkpoint(tmp_path, dataset):
     h2.resume()
     assert int(h2.state.epoch) == int(h.state.epoch)
     h2.run_epoch()
+
+
+def test_v_harness_dp(tmp_path, dataset):
+    from catgen.train import v_trainer
+    from catgen.train.harness import VHarness
+
+    hc = HarnessConfig(save_dir=str(tmp_path), n_epoch=64, scale=16,
+                       seed=5, n_devices=8, v_model="v16")
+    vc = v_trainer.VConfig(batch_size=8)
+    h = VHarness(hc, vc, dataset)
+    summary = h.run_epoch()
+    assert summary["epoch"] == 1
+    assert 0.0 <= summary["acc"] <= 1.0
+    h.save()
+    assert os.path.exists(os.path.join(str(tmp_path), "v_3x16x16.ckpt"))
