@@ -133,6 +133,10 @@ def _auto_tiles(n, h, w, cin, cout, kp_h, kp_w,
                   + h * w * cin) * 4
     avail = max(budget_bytes - weights, per_sample)
     bt = max(int(avail // per_sample), 1)
+    if h * w <= 16:
+        # tiny spatial stages (the 4x4 G seed) are dispatch-bound: much
+        # larger tiles measure fastest (tools/perf_probe.py sweep)
+        bt = max(bt, 64)
     return min(bt, n), ct
 
 
