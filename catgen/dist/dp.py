@@ -22,9 +22,6 @@ the single-device step on the concatenated batch (SURVEY.md §4(e)).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
-
 import jax
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P

@@ -23,14 +23,10 @@ reference implementation).
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-from catgen.nn import spatial_transformer as st_ref
 
 
 def _sampler_kernel(h: int, w: int, c: int, ho: int, wo: int, bt: int):

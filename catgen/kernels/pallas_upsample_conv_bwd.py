@@ -21,10 +21,8 @@ MXU matmuls over VMEM-resident blocks.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -25,8 +25,6 @@ Conventions (matching torch-stn semantics):
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -24,8 +24,7 @@ API shape is optax-like but self-contained:
 
 from __future__ import annotations
 
-import math
-from typing import Any, Callable, NamedTuple, Optional
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

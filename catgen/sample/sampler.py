@@ -14,7 +14,7 @@ Rebuilds sample.lua as one on-device pipeline:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
