@@ -31,7 +31,8 @@ def main(argv=None):
     args = parse_args(argv)
     hc = HarnessConfig(save_dir=args.save, n_epoch=args.N_epoch,
                        scale=args.scale, colorspace=args.colorSpace,
-                       noise_dim=args.noiseDim, seed=args.seed)
+                       noise_dim=args.noiseDim, seed=args.seed,
+                       n_devices=args.devices)
     pc = pretrainer.PretrainConfig(batch_size=args.batchSize,
                                    g_l1=args.G_L1, g_l2=args.G_L2,
                                    g_clamp=args.G_clamp)

@@ -119,3 +119,26 @@ def make_dp_v_step(v: Module, config, mesh: Mesh):
         check_rep=False,
     )
     return jax.jit(sharded)
+
+
+def make_dp_ae_step(autoencoder: Module, config, mesh: Mesh):
+    """Data-parallel autoencoder pretrain step: (state, images, rng) ->
+    (state, loss)."""
+    from catgen.train import pretrainer
+
+    axis = config.axis_name or DATA_AXIS
+    assert axis in mesh.axis_names
+    step = pretrainer.make_train_step(autoencoder, config)
+
+    def dp_step(state, images, rng):
+        local_rng = fold_in_axis_index(rng, axis)
+        state, loss = step(state, images, local_rng)
+        return state, lax.pmean(loss, axis)
+
+    sharded = shard_map(
+        dp_step, mesh=mesh,
+        in_specs=(P(), P(axis), P()),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(sharded)

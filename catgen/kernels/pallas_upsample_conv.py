@@ -110,7 +110,7 @@ def _make_kernel(h: int, w: int, cin: int, cout_t: int, bt: int,
     return kernel_fn
 
 
-def _auto_tiles(n, h, w, cin, cout, kp_h, kp_w,
+def _auto_tiles(n, h, w, cin, cout, kp_h, kp_w, itemsize=4,
                 budget_bytes=12 * 1024 * 1024) -> Tuple[int, int]:
     """(batch_tile, cout_tile) fitting the VMEM budget. Pipeline blocks
     (input, weights, output) are double-buffered by Mosaic (x2)."""
@@ -133,9 +133,12 @@ def _auto_tiles(n, h, w, cin, cout, kp_h, kp_w,
     avail = max(budget_bytes - weights, per_sample)
     bt = max(int(avail // per_sample), 1)
     if h * w <= 16:
-        # tiny spatial stages (the 4x4 G seed) are dispatch-bound: much
-        # larger tiles measure fastest (tools/perf_probe.py sweep)
-        bt = max(bt, 64)
+        # tiny spatial stages (the 4x4 G seed) are dispatch-bound: larger
+        # tiles measure fastest (tools/perf_probe.py sweep) — but only up
+        # to what the in/out pipeline blocks can afford in VMEM
+        io_per_sample = 2 * ((h + kp_h) * (w + kp_w) * cin
+                             + h * w * 4 * ct) * itemsize
+        bt = max(bt, min(64, int(6 * 1024 * 1024 // max(io_per_sample, 1))))
     return min(bt, n), ct
 
 
@@ -161,7 +164,8 @@ def upsample2_conv_fused(x: jax.Array, kernel: jax.Array,
     for p, ck in enumerate(collapsed):
         wstack = wstack.at[p, :ck.shape[0], :ck.shape[1]].set(ck)
 
-    abt, act = _auto_tiles(n, h, w, cin, cout, kp_h, kp_w)
+    abt, act = _auto_tiles(n, h, w, cin, cout, kp_h, kp_w,
+                           itemsize=x.dtype.itemsize)
     bt = batch_tile if batch_tile is not None else abt
     ct = cout_tile if cout_tile is not None else act
     bt = min(bt, n)

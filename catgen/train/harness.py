@@ -362,10 +362,18 @@ class PretrainHarness:
         self.dataset = dataset
         self.logger = logger or MetricsLogger(
             os.path.join(hc.save_dir, "pretrain_metrics.jsonl"))
-        self.ae = models.create_G_autoencoder(hc.image_shape, hc.noise_dim)
+        axis = dist.DATA_AXIS if hc.n_devices > 1 else None
+        self.pc = dataclasses.replace(self.pc, axis_name=axis)
+        self.ae = models.create_G_autoencoder(hc.image_shape, hc.noise_dim,
+                                              axis_name=axis)
+        self.mesh = dist.make_mesh(hc.n_devices) if hc.n_devices > 1 else None
         self.state = pretrainer.init_state(
             self.ae, self.pc, jax.random.PRNGKey(hc.seed), hc.image_shape)
-        self.step = jax.jit(pretrainer.make_train_step(self.ae, self.pc))
+        if self.mesh is not None:
+            self.state = dist.replicate(self.state, self.mesh)
+            self.step = dist.make_dp_ae_step(self.ae, self.pc, self.mesh)
+        else:
+            self.step = jax.jit(pretrainer.make_train_step(self.ae, self.pc))
         self.logger.log("setup", ae_params=param_count(self.state.params))
 
     def _ckpt_path(self) -> str:
@@ -384,9 +392,10 @@ class PretrainHarness:
     def run_epoch(self) -> dict:
         t0 = time.time()
         n_batches = max(self.hc.n_epoch // self.pc.batch_size, 1)
+        bsz = self.pc.batch_size * max(self.hc.n_devices, 1)
         tot = 0.0
         for b in range(n_batches):
-            imgs = self.dataset.load_random_images(self.pc.batch_size)
+            imgs = self.dataset.load_random_images(bsz)
             self.state, loss = self.step(self.state, imgs,
                                          jax.random.PRNGKey(b))
             tot += float(loss)

@@ -52,3 +52,19 @@ def test_v_harness_dp(tmp_path, dataset):
     assert 0.0 <= summary["acc"] <= 1.0
     h.save()
     assert os.path.exists(os.path.join(str(tmp_path), "v_3x16x16.ckpt"))
+
+
+def test_pretrain_harness_dp(tmp_path, dataset):
+    from catgen.train import pretrainer
+    from catgen.train.harness import PretrainHarness
+
+    hc = HarnessConfig(save_dir=str(tmp_path), n_epoch=64, scale=16,
+                       seed=7, n_devices=8)
+    pc = pretrainer.PretrainConfig(batch_size=8)
+    h = PretrainHarness(hc, pc, dataset)
+    s1 = h.run_epoch()
+    s2 = h.run_epoch()
+    assert s2["mse"] <= s1["mse"] * 1.5  # training, not diverging
+    h.save()
+    assert os.path.exists(os.path.join(
+        str(tmp_path), "g_pretrained_3x16x16_nd100.ckpt"))
