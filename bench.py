@@ -122,7 +122,7 @@ def bench_infer(steps, dtype):
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BS", "512"))
+    batch = int(os.environ.get("BENCH_BS", "640"))  # measured sweet spot
     steps = int(os.environ.get("BENCH_STEPS", "50"))
     dtype = (jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16"
              else jnp.float32)
