@@ -69,20 +69,26 @@ def eyeline_angle_deg(keypoints: np.ndarray) -> float:
 def _affine_warp(image: np.ndarray, forward: np.ndarray,
                  resample=None) -> np.ndarray:
     """Warps HWC uint8 ``image`` with the *forward* 3x3 xy matrix using
-    PIL (edge-replicate semantics approximated with bilinear + edge clamp
-    is not available in PIL; we use the inverse-map AFFINE transform which
-    fills out-of-range with black, then no further correction — matching
-    skimage mode differences only at extreme borders)."""
+    PIL. The reference warps with skimage ``mode="nearest"`` (edge
+    replicate, dataset.py:173); PIL's AFFINE fills out-of-range with
+    black, so we edge-pad the source by the worst-case displacement,
+    shift the transform into padded coordinates, and crop back."""
     from PIL import Image
 
-    inv = np.linalg.inv(forward)
-    im = Image.fromarray(image)
+    h, w = image.shape[:2]
+    pad = max(h, w) // 2 + 2
+    padded = np.pad(image, ((pad, pad), (pad, pad), (0, 0)), mode="edge")
+    # shift: padded coords p' = p + pad; out' = T(out) + pad
+    shift = np.array([[1, 0, pad], [0, 1, pad], [0, 0, 1]], float)
+    fwd_p = shift @ forward @ np.linalg.inv(shift)
+    inv = np.linalg.inv(fwd_p)
+    im = Image.fromarray(padded)
     resample = resample or Image.BILINEAR
     out = im.transform(im.size, Image.AFFINE,
                        data=(inv[0, 0], inv[0, 1], inv[0, 2],
                              inv[1, 0], inv[1, 1], inv[1, 2]),
                        resample=resample)
-    return np.asarray(out)
+    return np.asarray(out)[pad:pad + h, pad:pad + w]
 
 
 def _transform_points(keypoints: np.ndarray, forward: np.ndarray,

@@ -122,3 +122,14 @@ def test_loader_epoch_batches(fixture_dir):
 def test_loader_paths_sorted(fixture_dir):
     ds = ImageDataset([fixture_dir])
     assert ds.paths == sorted(ds.paths)
+
+
+def test_hsl_matches_colorsys():
+    import colorsys
+    vals = [(0.8, 0.2, 0.4), (0.1, 0.9, 0.5), (0.3, 0.3, 0.3),
+            (1.0, 0.0, 0.0), (0.2, 0.6, 0.9)]
+    img = jnp.asarray(np.array(vals, np.float32).reshape(1, 1, len(vals), 3))
+    got = np.asarray(color.rgb_to_hsl(img))[0, 0]
+    for i, (r, g, b) in enumerate(vals):
+        h, l, s = colorsys.rgb_to_hls(r, g, b)  # note HLS order
+        np.testing.assert_allclose(got[i], [h, s, l], atol=1e-5)

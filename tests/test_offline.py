@@ -143,3 +143,18 @@ def test_full_pipeline(corpus, tmp_path):
         assert im.size == (64, 64)
     # unaug dir has originals only
     assert len(os.listdir(os.path.join(out, "out_unaug_64x64"))) == 3
+
+
+def test_affine_warp_edge_replicates():
+    # rotating a constant-bordered image must not introduce black corners
+    # (skimage mode="nearest" semantics, dataset.py:173)
+    img = np.full((64, 64, 3), 200, np.uint8)
+    img[20:44, 20:44] = 50
+    ang = math.radians(30)
+    c, s = math.cos(ang), math.sin(ang)
+    to_tl = np.array([[1, 0, -32], [0, 1, -32], [0, 0, 1]], float)
+    rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], float)
+    to_c = np.array([[1, 0, 32], [0, 1, 32], [0, 0, 1]], float)
+    out = offline._affine_warp(img, to_c @ rot @ to_tl)
+    # corners would be ~0 with black fill; edge replicate keeps them bright
+    assert out[0, 0].mean() > 150 and out[-1, -1].mean() > 150
