@@ -175,3 +175,32 @@ def test_remat_step_matches_plain(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
     assert abs(float(m1.loss_g) - float(m2.loss_g)) < 1e-5
+
+
+def test_alternative_optimizers_step(rng):
+    # --D_optmethod/--G_optmethod parity: every optimizer choice must
+    # produce a runnable jitted step (train.lua:191-207)
+    for method in ("adagrad", "sgd", "rmsprop"):
+        cfg = gan.GanConfig(batch_size=8, noise_dim=NOISE, acc_window=4,
+                            d_optimizer=method, g_optimizer=method)
+        g, d = tiny_g(), tiny_d()
+        state = gan.init_state(g, d, cfg, jax.random.PRNGKey(0), IMG)
+        step = jax.jit(gan.make_train_step(g, d, cfg))
+        new_state, m = step(state, _reals(rng, 4), jax.random.PRNGKey(1))
+        assert np.isfinite(float(m.loss_d)) and np.isfinite(float(m.loss_g))
+
+
+def test_restored_state_generates_identical_samples(rng, tmp_path):
+    # checkpoint round-trip preserves sampling exactly (determinism that
+    # the reference could not achieve on GPU, SURVEY.md §5.2)
+    from catgen.io import checkpoint as ckpt
+
+    g, d, config, state, step = _setup()
+    state, _ = step(state, _reals(rng, 8), jax.random.PRNGKey(0))
+    path = str(tmp_path / "ck.ckpt")
+    ckpt.save(path, state)
+    restored, _ = ckpt.load(path, state)
+    noise = gan.uniform_noise(jax.random.PRNGKey(7), 4, NOISE)
+    a = gan.generate(g, state, noise)
+    b = gan.generate(g, restored, noise)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
