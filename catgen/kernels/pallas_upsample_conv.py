@@ -253,6 +253,17 @@ def _ucb_bwd(res, g):
         from catgen.kernels.pallas_upsample_conv_bwd import \
             upsample2_conv_backward
         return upsample2_conv_backward(x, kernel, g)
+    if impl == "hybrid":
+        # Pallas dX (transposed parity convs in one pass) + XLA dW/db
+        from catgen.kernels.pallas_upsample_conv_bwd import \
+            upsample2_conv_backward as _pb
+        import jax.numpy as _jnp
+        dx = _pb(x, kernel, g)[0]
+        _, vjp_k = jax.vjp(lambda k_: upsample2_conv(x, k_), kernel)
+        (dk,) = vjp_k(g)
+        db = _jnp.sum(g.astype(_jnp.float32),
+                      axis=(0, 1, 2)).astype(kernel.dtype)
+        return dx, dk, db
     if impl == "collapsed":
         fn = lambda x_, k_, b_: upsample2_conv(x_, k_) + b_
     else:

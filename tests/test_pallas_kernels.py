@@ -114,3 +114,20 @@ def test_upsample_conv_pallas_backward_matches_vjp(key, rng):
         for a, b_ in zip(got, want):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                        rtol=1e-4, atol=1e-4)
+
+
+def test_upsample_conv_bwd_impl_options(key, rng, monkeypatch):
+    # verify the backward dispatcher directly (the pallas *forward* cannot
+    # compile on the CPU backend, so we call _ucb_bwd with residuals)
+    from catgen.kernels.pallas_upsample_conv import _ucb_bwd
+    x = jnp.asarray(rng.randn(2, 4, 4, 8).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 8, 8).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(8).astype(np.float32))
+    g = jnp.asarray(rng.randn(2, 8, 8, 8).astype(np.float32))
+    grads = {}
+    for impl in ("collapsed", "naive"):
+        monkeypatch.setenv("CATGEN_UPSAMPLE_BWD", impl)
+        grads[impl] = _ucb_bwd((x, w, b), g)
+    for a, b_ in zip(grads["collapsed"], grads["naive"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5)
