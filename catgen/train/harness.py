@@ -343,9 +343,47 @@ class VHarness:
         print(confusion_summary(*conf))
         return summary
 
+    def visualize(self):
+        """train_v.lua:227-285: V judges 50 real + 50 synthetic images,
+        split into good/bad grids at p(real)=0.5, with range warnings."""
+        epoch = int(self.state.epoch)
+        reals = self.dataset.postprocess(self.dataset.sample_uint8(50))
+
+        def sample_reals(n):
+            return self.dataset.postprocess(self.dataset.sample_uint8(n))
+
+        fakes = self.factory(50, sample_reals)
+        imgs = jnp.concatenate([reals, fakes])
+        arr = np.asarray(imgs)
+        if arr.min() < -0.01 or arr.max() > 1.01:
+            self.logger.log("range_warning", epoch=epoch,
+                            vmin=float(arr.min()), vmax=float(arr.max()))
+        scores = np.asarray(v_trainer.v_scores(
+            self.v, {"params": self.state.params,
+                     "state": self.state.state}, imgs))
+        rgb = np.asarray(colorlib.colorspace_to_rgb(
+            imgs, self.hc.colorspace))
+        good = rgb[scores > 0.5]
+        bad = rgb[scores <= 0.5]
+        base = self.hc.save_dir
+        if len(good):
+            save_grid(os.path.join(base, "v_judged_real",
+                                   f"epoch_{epoch:06d}.png"), good,
+                      epoch=epoch)
+        if len(bad):
+            save_grid(os.path.join(base, "v_judged_fake",
+                                   f"epoch_{epoch:06d}.png"), bad,
+                      epoch=epoch)
+        self.logger.log("viz", epoch=epoch,
+                        judged_real=int((scores > 0.5).sum()),
+                        judged_fake=int((scores <= 0.5).sum()),
+                        mean_score_reals=float(scores[:50].mean()),
+                        mean_score_fakes=float(scores[50:].mean()))
+
     def train(self, epochs: int, save_freq: int = 10):
         for _ in range(epochs):
             self.run_epoch()
+            self.visualize()
             if int(self.state.epoch) % save_freq == 0:
                 self.save()
         self.save()
@@ -406,8 +444,22 @@ class PretrainHarness:
         self.logger.log("epoch", **summary)
         return summary
 
+    def visualize(self):
+        """pretrain_g.lua:221-253: originals vs reconstructions grid."""
+        epoch = int(self.state.epoch)
+        originals = self.dataset.load_random_images(16)
+        recon = pretrainer.reconstruct(self.ae, self.state, originals)
+        pairs = jnp.stack([originals, recon], axis=1).reshape(
+            (-1,) + tuple(originals.shape[1:]))
+        rgb = np.asarray(colorlib.colorspace_to_rgb(
+            pairs, self.hc.colorspace))
+        save_grid(os.path.join(self.hc.save_dir, "reconstructions",
+                               f"epoch_{epoch:06d}.png"), rgb, nrow=8,
+                  epoch=epoch)
+
     def train(self, epochs: int, save_freq: int = 1):
         for _ in range(epochs):
             self.run_epoch()
+            self.visualize()
             if int(self.state.epoch) % save_freq == 0:
                 self.save()
