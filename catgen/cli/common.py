@@ -29,6 +29,23 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--N_epoch", type=int, default=1000)
     p.add_argument("--devices", type=int, default=1,
                    help="DP mesh size (1 = single chip)")
+    p.add_argument("--platform", default="auto",
+                   choices=["auto", "cpu", "tpu"],
+                   help="force the jax platform; --platform cpu simulates "
+                        "--devices N as N virtual CPU devices (the pinned "
+                        "env platform otherwise wins, so a plain env var "
+                        "is too late once jax is imported)")
+
+
+def apply_platform(args):
+    """Must run before the first jax backend use (jax import alone is fine —
+    the sitecustomize hook imports jax but does not initialize a backend)."""
+    if getattr(args, "platform", "auto") == "auto":
+        return
+    import jax
+    jax.config.update("jax_platforms", args.platform)
+    if args.platform == "cpu" and args.devices > 1:
+        jax.config.update("jax_num_cpu_devices", args.devices)
 
 
 def build_dataset(args) -> ImageDataset:

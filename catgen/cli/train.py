@@ -9,7 +9,8 @@ from __future__ import annotations
 
 import argparse
 
-from catgen.cli.common import add_common_args, add_dataset_args, build_dataset
+from catgen.cli.common import (add_common_args, add_dataset_args,
+                                apply_platform, build_dataset)
 from catgen.models import D_REGISTRY, G_REGISTRY
 from catgen.train import gan
 from catgen.train.harness import GanHarness, HarnessConfig
@@ -48,11 +49,15 @@ def parse_args(argv=None):
                    help="activation compute dtype (bf16 = TPU fast path)")
     p.add_argument("--weightsVisFreq", type=int, default=0,
                    help="write per-layer D activation grids every N epochs")
+    p.add_argument("--augment", action="store_true",
+                   help="on-device train-time augmentation of real batches "
+                        "(offline ×9 corpus semantics applied live)")
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
+    apply_platform(args)
     import jax.numpy as jnp
     hc = HarnessConfig(save_dir=args.save, save_freq=args.saveFreq,
                        n_epoch=args.N_epoch, scale=args.scale,
@@ -69,7 +74,7 @@ def main(argv=None):
         d_l1=args.D_L1, d_l2=args.D_L2, g_l1=args.G_L1, g_l2=args.G_L2,
         d_clamp=args.D_clamp, g_clamp=args.G_clamp,
         d_iterations=args.D_iterations, g_iterations=args.G_iterations,
-        d_max_acc=args.D_maxAcc,
+        d_max_acc=args.D_maxAcc, augment=args.augment,
         compute_dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32)
     dataset = build_dataset(args)
     harness = GanHarness(hc, gc, dataset)

@@ -8,7 +8,8 @@ from __future__ import annotations
 
 import argparse
 
-from catgen.cli.common import add_common_args, add_dataset_args, build_dataset
+from catgen.cli.common import (add_common_args, add_dataset_args,
+                                apply_platform, build_dataset)
 from catgen.train import v_trainer
 from catgen.train.harness import HarnessConfig, VHarness
 
@@ -27,6 +28,7 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    apply_platform(args)
     hc = HarnessConfig(save_dir=args.save, n_epoch=args.N_epoch,
                        scale=args.scale, colorspace=args.colorSpace,
                        seed=args.seed, n_devices=args.devices)

@@ -12,20 +12,24 @@ Rebuilds the per-image host loops of the reference
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
-_Y_WEIGHTS = jnp.array([0.21, 0.72, 0.07])  # nn_utils.lua:269-271
+# numpy constants on purpose: module-level jnp.array would initialize the
+# jax backend at import time, breaking late platform selection
+# (cli.common.apply_platform)
+_Y_WEIGHTS = np.array([0.21, 0.72, 0.07], np.float32)  # nn_utils.lua:269-271
 
-_RGB2YUV = jnp.array([
+_RGB2YUV = np.array([
     [0.299, 0.587, 0.114],
     [-0.14713, -0.28886, 0.436],
     [0.615, -0.51499, -0.10001],
-])
-_YUV2RGB = jnp.array([
+], np.float32)
+_YUV2RGB = np.array([
     [1.0, 0.0, 1.13983],
     [1.0, -0.39465, -0.58060],
     [1.0, 2.03211, 0.0],
-])
+], np.float32)
 
 
 def rgb_to_y(images: jnp.ndarray) -> jnp.ndarray:

@@ -138,10 +138,17 @@ class ImageDataset:
     def load_images(self, start: int, count: int) -> jax.Array:
         return self.postprocess(self.slice_uint8(start, count))
 
-    def epoch_batches(self, n_examples: int, half_batch: int) -> jax.Array:
+    def epoch_batches(self, n_examples: int, half_batch: int,
+                      d_iterations: int = 1) -> jax.Array:
         """Pre-batched reals for one scanned epoch:
-        (n_examples // half_batch, half_batch, H, W, C)."""
+        (n_examples // half_batch, d_iterations * half_batch, H, W, C).
+
+        The batch count follows the examples-per-epoch budget while each
+        step draws ``d_iterations`` fresh half-batches — matching the
+        reference, whose D_iterations loop refills reals per iteration
+        without advancing the epoch counter (adversarial.lua:221-238)."""
         nb = max(n_examples // half_batch, 1)
-        raw = self.sample_uint8(nb * half_batch)
+        per_step = d_iterations * half_batch
+        raw = self.sample_uint8(nb * per_step)
         x = self.postprocess(raw)
-        return x.reshape((nb, half_batch) + x.shape[1:])
+        return x.reshape((nb, per_step) + x.shape[1:])

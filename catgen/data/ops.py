@@ -87,9 +87,12 @@ def augment_batch(rng: jax.Array, images: jnp.ndarray,
     grid = affine_grid(theta, h, w)
     out = bilinear_sample(images, grid)
 
+    # multiplicative brightness +-15%, matching the offline pipeline and the
+    # reference (generate_dataset.py:73 via ImageAugmenter multiply semantics,
+    # data/offline.py FaceImage.augment)
     bri = jax.random.uniform(k_bri, (n, 1, 1, 1), dtype,
                              -config.brightness, config.brightness)
-    out = out + bri
+    out = out * (1.0 + bri)
     if config.noise_std > 0:
         out = out + config.noise_std * jax.random.normal(
             k_noise, out.shape, dtype)

@@ -25,7 +25,7 @@ from __future__ import annotations
 import jax
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from catgen.core.module import Module
 from catgen.dist.mesh import DATA_AXIS, fold_in_axis_index
@@ -65,7 +65,7 @@ def make_dp_train_step(g: Module, d: Module, config: gan.GanConfig,
         dp_step, mesh=mesh,
         in_specs=(P(), P(axis), P()),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
 
@@ -86,7 +86,7 @@ def make_dp_train_epoch(g: Module, d: Module, config: gan.GanConfig,
         dp_epoch, mesh=mesh,
         in_specs=(P(), P(None, axis), P()),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
 
@@ -116,7 +116,7 @@ def make_dp_v_step(v: Module, config, mesh: Mesh):
         dp_step, mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P()),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
 
@@ -139,6 +139,6 @@ def make_dp_ae_step(autoencoder: Module, config, mesh: Mesh):
         dp_step, mesh=mesh,
         in_specs=(P(), P(axis), P()),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)

@@ -39,6 +39,12 @@ def make_mesh(n_devices: Optional[int] = None,
     """Mesh over the first ``n_devices`` devices (default: all)."""
     devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"make_mesh: {n_devices} devices requested but only "
+                f"{len(devices)} visible ({devices[0].platform}); for a "
+                f"CPU-simulated mesh set jax_num_cpu_devices / "
+                f"--xla_force_host_platform_device_count before jax init")
         devices = devices[:n_devices]
     if shape is None:
         shape = (len(devices),) + (1,) * (len(axis_names) - 1)

@@ -38,12 +38,17 @@ def _flatten(tree: Any) -> Dict[str, np.ndarray]:
     return flat
 
 
+FORMAT_VERSION = 2  # v2: adds the format_version meta field
+
+
 def save(path: str, tree: Any, meta: Optional[Dict[str, Any]] = None) -> None:
     """Atomically writes leaves + metadata; keeps previous file as .old."""
     flat = _flatten(tree)
+    meta = dict(meta or {})
+    meta.setdefault("format_version", FORMAT_VERSION)
     buf = io.BytesIO()
     np.savez(buf, __meta__=np.frombuffer(
-        json.dumps(meta or {}).encode(), dtype=np.uint8), **flat)
+        json.dumps(meta).encode(), dtype=np.uint8), **flat)
     tmp = path + ".tmp"
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(tmp, "wb") as f:
@@ -58,23 +63,45 @@ def load_meta(path: str) -> Dict[str, Any]:
         return json.loads(bytes(z["__meta__"]).decode())
 
 
-def load(path: str, template: Any) -> Tuple[Any, Dict[str, Any]]:
+def load(path: str, template: Any,
+         lenient: Tuple[str, ...] = ()) -> Tuple[Any, Dict[str, Any]]:
     """Restores a pytree shaped like ``template`` (values ignored) and the
-    metadata dict. Raises KeyError on structure mismatch."""
+    metadata dict. Raises KeyError/ValueError on structure mismatch —
+    except for leaves whose tree path contains one of the ``lenient``
+    substrings: those fall back to the template's value (re-init with a
+    warning) when missing or shape-incompatible. This is the
+    ``--rebuildOptstate`` spirit (train.lua:44,191) generalized to config
+    drift like a changed gate-buffer ``acc_window``: resume keeps the model
+    and re-derives the rest instead of dying."""
     with np.load(path) as z:
         meta = json.loads(bytes(z["__meta__"]).decode())
         leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(template)
         leaves = []
+        reinit = []
         for p, leaf in leaves_with_path:
             key = jax.tree_util.keystr(p)
+            is_lenient = any(s in key for s in lenient)
             if key not in z:
+                if is_lenient:
+                    reinit.append(key)
+                    leaves.append(np.asarray(leaf))
+                    continue
                 raise KeyError(f"checkpoint {path} missing leaf {key}")
             arr = z[key]
             want = np.shape(leaf)
             if tuple(arr.shape) != tuple(want):
+                if is_lenient:
+                    reinit.append(key)
+                    leaves.append(np.asarray(leaf))
+                    continue
                 raise ValueError(
                     f"checkpoint leaf {key} shape {arr.shape} != template {want}")
             leaves.append(arr)
+    if reinit:
+        import warnings
+        warnings.warn(f"checkpoint {path}: re-initialized {len(reinit)} "
+                      f"lenient leaves from the template: {reinit[:4]}...")
+        meta["_reinitialized"] = reinit
     return jax.tree_util.tree_unflatten(treedef, leaves), meta
 
 

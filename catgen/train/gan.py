@@ -73,6 +73,11 @@ class GanConfig:
     remat: bool = False                   # jax.checkpoint the D/G applies
                                           # (trade FLOPs for memory at
                                           # large batch, SURVEY.md "HBM")
+    augment: bool = False                 # on-device train-time augmentation
+                                          # of the real half-batches (XLA-
+                                          # fused affine+brightness+noise,
+                                          # generate_dataset.py:68-73
+                                          # semantics applied at train time)
 
     def make_optimizers(self) -> Tuple[optim.Optimizer, optim.Optimizer]:
         return (self._make(self.d_optimizer, self.d_lr, self.d_sgd_lr,
@@ -161,9 +166,19 @@ def make_train_step(g: Module, d: Module, config: GanConfig):
     """Builds the jitted step: (state, real_images, rng) ->
     (state, StepMetrics).
 
-    ``real_images`` is the half-batch of reals (batch_size/2, H, W, C) in
-    [0,1] — the step draws its own noise from ``rng``.
+    ``real_images`` is ``d_iterations`` half-batches of reals stacked along
+    the batch axis — shape (d_iterations * batch_size/2, H, W, C) in [0,1].
+    The reference draws FRESH reals (and fresh fakes) for every iteration of
+    the ``for k=1, OPT.D_iterations`` loop (adversarial.lua:221-238, the
+    per-k refill of ``inputs``); iteration k here consumes slice k of the
+    stacked reals and re-folds the noise stream. The step draws its own
+    noise from ``rng``.
     """
+    if config.d_iterations < 1 or config.g_iterations < 1:
+        raise ValueError(
+            f"d_iterations/g_iterations must be >= 1 (got "
+            f"{config.d_iterations}/{config.g_iterations}); the reference "
+            f"always runs at least one D and one G update per batch")
     d_optim, g_optim = config.make_optimizers()
     half = config.batch_size // 2
     cdt = config.compute_dtype
@@ -260,10 +275,19 @@ def make_train_step(g: Module, d: Module, config: GanConfig):
         return state, loss
 
     def train_step(state: TrainState, reals: jax.Array, rng: jax.Array):
+        assert reals.shape[0] == config.d_iterations * half, (
+            f"step wants d_iterations*batch_size/2 = "
+            f"{config.d_iterations * half} reals, got {reals.shape[0]}")
         rng = jax.random.fold_in(rng, state.step)
+        if config.augment:
+            from catgen.data.ops import augment_batch
+            reals = augment_batch(jax.random.fold_in(rng, 0x0A06),
+                                  reals.astype(cdt))
         d_stats = None
         for it in range(config.d_iterations):
-            state, d_stats = d_phase(state, reals, rng, it)
+            # fresh reals per D iteration (adversarial.lua:221-238)
+            state, d_stats = d_phase(
+                state, reals[it * half:(it + 1) * half], rng, it)
         loss_g = None
         for it in range(config.g_iterations):
             state, loss_g = g_phase(state, rng, it)
@@ -273,13 +297,18 @@ def make_train_step(g: Module, d: Module, config: GanConfig):
                               tp, tn, fp, fn)
         return state, metrics
 
+    # exposed for parity tests: each D iteration is exactly one d_phase on
+    # its own half-batch of reals
+    train_step.d_phase = d_phase
+    train_step.g_phase = g_phase
     return train_step
 
 
 def make_train_epoch(g: Module, d: Module, config: GanConfig):
     """Scans the step over an epoch of pre-batched reals:
-    (state, reals (nb, B/2, H, W, C), rng) -> (state, stacked metrics).
-    One compiled program per epoch — the TPU-throughput path."""
+    (state, reals (nb, d_iterations*B/2, H, W, C), rng) ->
+    (state, stacked metrics). One compiled program per epoch — the
+    TPU-throughput path."""
     step = make_train_step(g, d, config)
 
     def epoch_fn(state: TrainState, real_batches: jax.Array, rng: jax.Array):

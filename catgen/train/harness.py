@@ -150,15 +150,25 @@ class GanHarness:
 
     def resume(self, path: Optional[str] = None,
                rebuild_optstate: bool = False):
-        """train.lua:127-142 (+ --rebuildOptstate, train.lua:44,191)."""
+        """train.lua:127-142 (+ --rebuildOptstate, train.lua:44,191).
+
+        Gate-buffer leaves load leniently: a checkpoint saved with a
+        different ``acc_window`` (batch-size- or N_epoch-derived) re-inits
+        the rolling-accuracy window with a warning instead of failing —
+        the model/optimizer state is what matters for resume."""
         path = path or self._ckpt_path()
-        restored, meta = ckpt.load(path, self.state)
+        lenient = ("acc_buffer", "acc_count", "acc_index")
+        if rebuild_optstate:
+            lenient += ("g_opt", "d_opt")
+        restored, meta = ckpt.load(path, self.state, lenient=lenient)
         self.plot_data = list(meta.get("plot_data", []))
         if rebuild_optstate:
             d_optim, g_optim = self.gc.make_optimizers()
             restored = restored._replace(
                 g_opt=g_optim.init(restored.g_params),
                 d_opt=d_optim.init(restored.d_params))
+        if meta.get("_reinitialized"):
+            self.logger.log("resume_reinit", leaves=meta["_reinitialized"])
         self.state = restored
         if self.mesh is not None:
             self.state = dist.replicate(self.state, self.mesh)
@@ -168,7 +178,8 @@ class GanHarness:
 
     def _epoch_reals(self) -> jax.Array:
         half = self.gc.batch_size // 2 * max(self.hc.n_devices, 1)
-        batches = self.dataset.epoch_batches(self.hc.n_epoch, half)
+        batches = self.dataset.epoch_batches(self.hc.n_epoch, half,
+                                             self.gc.d_iterations)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             batches = jax.device_put(

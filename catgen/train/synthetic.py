@@ -154,21 +154,25 @@ def _div_by_max(imgs: jnp.ndarray) -> jnp.ndarray:
     return imgs / jnp.maximum(mx, 1e-8)
 
 
-def _batch_overlay(rng: jax.Array, bank: jnp.ndarray, n: int,
+def _batch_overlay(rng: jax.Array, bank: jnp.ndarray,
                    height: int, width: int) -> jnp.ndarray:
-    """50/50 gaussian or pixelwise masks (mixImageLists, train_v.lua:349-356).
-    The choice is per batch, via lax.cond on one random bit."""
+    """ONE (H, W) mask shared by the whole batch — mixImageLists draws a
+    single overlay (50/50 gaussian or pixelwise) and applies it to every
+    pair in the list (train_v.lua:349-366). The choice is per batch, via
+    lax.cond on one random bit."""
     k_choice, k_a, k_b = jax.random.split(rng, 3)
     use_gauss = jax.random.bernoulli(k_choice)
     return lax.cond(
         use_gauss,
-        lambda: gaussian_overlays(k_a, bank, n, 4),
-        lambda: pixelwise_overlays(k_b, n, height, width))
+        lambda: gaussian_overlays(k_a, bank, 1, 4)[0],
+        lambda: pixelwise_overlays(k_b, 1, height, width)[0])
 
 
 def mix_images(img1: jnp.ndarray, img2: jnp.ndarray,
                overlay: jnp.ndarray) -> jnp.ndarray:
-    """overlay*img1 + (1-overlay)*img2, then /max (train_v.lua:327-344)."""
+    """overlay*img1 + (1-overlay)*img2, then per-image /max
+    (train_v.lua:327-344). ``overlay`` is (H, W) shared across the batch or
+    (N, H, W) per-image — both broadcast."""
     ov = overlay[..., None]
     return _div_by_max(ov * img1 + (1.0 - ov) * img2)
 
@@ -176,9 +180,11 @@ def mix_images(img1: jnp.ndarray, img2: jnp.ndarray,
 @partial(jax.jit, static_argnames=())
 def synthetic_mix(rng: jax.Array, img1: jnp.ndarray, img2: jnp.ndarray,
                   bank: jnp.ndarray) -> jnp.ndarray:
-    """Mix generator: blend two random training images (train_v.lua:371-382)."""
-    n, h, w, _ = img1.shape
-    return mix_images(img1, img2, _batch_overlay(rng, bank, n, h, w))
+    """Mix generator: blend two random training images through ONE shared
+    overlay (createSyntheticImagesMix -> mixImageLists, train_v.lua:371-382,
+    349-366)."""
+    _, h, w, _ = img1.shape
+    return mix_images(img1, img2, _batch_overlay(rng, bank, h, w))
 
 
 def _roll2(img: jnp.ndarray, dy: jnp.ndarray, dx: jnp.ndarray) -> jnp.ndarray:
@@ -290,6 +296,8 @@ class SyntheticImageFactory:
         if self._np.rand() < 0.33:
             other = self._one_batch(n, sample_reals)
             h, w, _ = self.image_shape
-            overlay = _batch_overlay(self._next_key(), self.bank, n, h, w)
+            # one overlay for the whole recursive-mix batch
+            # (mixImageLists, train_v.lua:349-366)
+            overlay = _batch_overlay(self._next_key(), self.bank, h, w)
             imgs = mix_images(imgs, other, overlay)
         return imgs

@@ -79,6 +79,23 @@ def test_augment_identity_config(key, rng):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_augment_brightness_is_multiplicative(key):
+    """Brightness must scale pixel values (reference ImageAugmenter /
+    offline-pipeline semantics), not shift them: a black image stays black
+    under brightness-only augmentation."""
+    cfg = AugmentConfig(hflip=False, scale_min=1.0, scale_max=1.0,
+                        rotation_deg=0.0, translation_px=0.0,
+                        brightness=0.15, noise_std=0.0)
+    black = jnp.zeros((4, 16, 16, 3), jnp.float32)
+    np.testing.assert_allclose(np.asarray(augment_batch(key, black, cfg)),
+                               0.0, atol=1e-7)
+    gray = jnp.full((64, 16, 16, 3), 0.5, jnp.float32)
+    out = np.asarray(augment_batch(key, gray, cfg))
+    ratios = out / 0.5
+    assert ratios.min() >= 0.85 - 1e-4 and ratios.max() <= 1.15 + 1e-4
+    assert ratios.std() > 0.01  # actually varies per image
+
+
 def test_fixture_images_deterministic():
     a = make_fixture_images(3, 64, seed=7)
     b = make_fixture_images(3, 64, seed=7)

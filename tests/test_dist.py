@@ -120,7 +120,7 @@ def test_dp_epoch_scan(rng):
 
 def test_per_device_rng_differs():
     mesh = dist.make_mesh(8)
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     def f(rng):
@@ -128,10 +128,38 @@ def test_per_device_rng_differs():
         return jax.random.uniform(local, (1, 4))
 
     out = jax.jit(shard_map(f, mesh=mesh, in_specs=(P(),),
-                            out_specs=P("data"), check_rep=False))(
+                            out_specs=P("data"), check_vma=False))(
         jax.random.PRNGKey(0))
     rows = np.asarray(out)
     assert len({tuple(np.round(r, 6)) for r in rows}) == 8
+
+
+def test_dp_step_with_augmentation(rng):
+    """--augment path under DP: the step compiles and runs over the mesh
+    with on-device per-device-RNG augmentation of the real half-batches,
+    and the replicated state stays consistent across a second step."""
+    mesh = dist.make_mesh(8)
+    config = gan.GanConfig(batch_size=8, noise_dim=NOISE, acc_window=4,
+                           axis_name="data", augment=True)
+    g, d = tiny_g("data"), tiny_d()
+    state = dist.replicate(
+        gan.init_state(g, d, config, jax.random.PRNGKey(0), IMG), mesh)
+    step = dist.make_dp_train_step(g, d, config, mesh)
+    reals = dist.shard_batch(
+        jnp.asarray(rng.rand(8 * 4, *IMG).astype(np.float32)), mesh)
+    new_state, metrics = step(state, reals, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics.loss_d))
+    step(new_state, reals, jax.random.PRNGKey(2))
+
+    # the augmented step trains on different inputs than the plain step
+    cfg_plain = gan.GanConfig(batch_size=8, noise_dim=NOISE, acc_window=4,
+                              axis_name="data")
+    plain = dist.make_dp_train_step(g, d, cfg_plain, mesh)
+    s_plain, _ = plain(state, reals, jax.random.PRNGKey(1))
+    diffs = [float(jnp.abs(a - b).max()) for a, b in
+             zip(jax.tree_util.tree_leaves(new_state.d_params),
+                 jax.tree_util.tree_leaves(s_plain.d_params))]
+    assert max(diffs) > 0
 
 
 def test_dp_v_step(rng):

@@ -142,11 +142,48 @@ def test_d_iterations_static_unroll(rng):
     cfg = gan.GanConfig(batch_size=16, noise_dim=NOISE, acc_window=4,
                         d_iterations=2)
     g, d, config, state, step = _setup(cfg)
-    reals = _reals(rng, config.batch_size // 2)
+    # the step consumes d_iterations fresh half-batches (adversarial.lua:221)
+    reals = _reals(rng, 2 * (config.batch_size // 2))
     new_state, _ = step(state, reals, jax.random.PRNGKey(1))
     assert int(new_state.d_opt.step) == 2  # two D updates per step
     # gate window advanced twice
     assert int(new_state.acc_count) == 2
+
+
+def test_d_iterations_fresh_reals_parity(rng):
+    """Iteration k must see half-batch k: the unrolled step equals two
+    manual d_phase applications on the respective fresh half-batches
+    (adversarial.lua:221-238 refills `inputs` every k), and swapping the
+    second half-batch changes the result (i.e. it is actually consumed)."""
+    cfg = gan.GanConfig(batch_size=16, noise_dim=NOISE, acc_window=4,
+                        d_iterations=2)
+    g, d = tiny_g(), tiny_d()
+    state = gan.init_state(g, d, cfg, jax.random.PRNGKey(0), IMG)
+    step = gan.make_train_step(g, d, cfg)
+    half = cfg.batch_size // 2
+    r_a, r_b = _reals(rng, half), _reals(rng, half)
+    assert float(jnp.abs(r_a - r_b).max()) > 0
+    new_state, _ = step(state, jnp.concatenate([r_a, r_b]),
+                        jax.random.PRNGKey(1))
+
+    # manual composition: d_phase(A, it=0) then d_phase(B, it=1), then G
+    folded = jax.random.fold_in(jax.random.PRNGKey(1), state.step)
+    s = state
+    s, _ = step.d_phase(s, r_a, folded, 0)
+    s, _ = step.d_phase(s, r_b, folded, 1)
+    for it in range(cfg.g_iterations):
+        s, _ = step.g_phase(s, folded, it)
+    for a, b in zip(jax.tree_util.tree_leaves(new_state.d_params),
+                    jax.tree_util.tree_leaves(s.d_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # reusing half-batch A in iteration 2 gives a different D
+    alt_state, _ = step(state, jnp.concatenate([r_a, r_a]),
+                        jax.random.PRNGKey(1))
+    diffs = [float(jnp.abs(a - b).max()) for a, b in
+             zip(jax.tree_util.tree_leaves(new_state.d_params),
+                 jax.tree_util.tree_leaves(alt_state.d_params))]
+    assert max(diffs) > 0
 
 
 def test_generate_and_discriminate_helpers(rng):

@@ -57,6 +57,55 @@ def test_checkpoint_shape_mismatch_raises(tmp_path):
         pass
 
 
+def test_checkpoint_version_field(tmp_path):
+    path = str(tmp_path / "x.ckpt")
+    checkpoint.save(path, {"w": jnp.zeros((3,))})
+    assert checkpoint.load_meta(path)["format_version"] == \
+        checkpoint.FORMAT_VERSION
+
+
+def test_checkpoint_lenient_load_reinits(tmp_path):
+    # shape drift on a lenient leaf falls back to the template; a missing
+    # lenient leaf does too; non-lenient drift still raises
+    path = str(tmp_path / "x.ckpt")
+    checkpoint.save(path, {"w": jnp.ones((3,)), "acc_buffer": jnp.ones((4,))})
+    template = {"w": jnp.zeros((3,)), "acc_buffer": jnp.zeros((9,)),
+                "acc_count": jnp.zeros((), jnp.int32)}
+    restored, meta = checkpoint.load(path, template,
+                                     lenient=("acc_buffer", "acc_count"))
+    np.testing.assert_array_equal(np.asarray(restored["w"]), np.ones((3,)))
+    np.testing.assert_array_equal(np.asarray(restored["acc_buffer"]),
+                                  np.zeros((9,)))
+    assert len(meta["_reinitialized"]) == 2
+    try:
+        checkpoint.load(path, template)  # not lenient -> error
+        assert False, "should raise"
+    except (KeyError, ValueError):
+        pass
+
+
+def test_resume_across_acc_window_change(tmp_path):
+    """train.lua --rebuildOptstate spirit: a checkpoint written with one
+    gate-window size resumes under another (the window re-inits, params
+    survive bit-exactly)."""
+    img = (8, 8, 1)
+    g = nn.Sequential([nn.Dense(8), nn.Dense(64), nn.Sigmoid(),
+                       nn.Reshape(img)], name="g")
+    d = nn.Sequential([nn.Flatten(), nn.Dense(1), nn.Sigmoid()], name="d")
+    cfg_a = gan.GanConfig(batch_size=8, noise_dim=4, acc_window=4)
+    cfg_b = gan.GanConfig(batch_size=8, noise_dim=4, acc_window=16)
+    state_a = gan.init_state(g, d, cfg_a, jax.random.PRNGKey(0), img)
+    path = str(tmp_path / "adversarial.ckpt")
+    checkpoint.save(path, state_a, meta={"epoch": 3})
+    template_b = gan.init_state(g, d, cfg_b, jax.random.PRNGKey(1), img)
+    restored, meta = checkpoint.load(
+        path, template_b, lenient=("acc_buffer", "acc_count", "acc_index"))
+    assert restored.acc_buffer.shape == (16,)
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.g_params),
+                    jax.tree_util.tree_leaves(restored.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_filenames():
     assert checkpoint.v_filename(3, 32, 32) == "v_3x32x32.ckpt"
     assert checkpoint.g_pretrained_filename(3, 32, 32, 100) == \
