@@ -10,5 +10,7 @@ from catgen.dist.dp import (  # noqa: F401
     make_dp_train_epoch,
     make_dp_train_step,
     make_dp_v_step,
+    make_dp_v_epoch,
     make_dp_ae_step,
+    make_dp_ae_epoch,
 )

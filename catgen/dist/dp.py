@@ -121,6 +121,39 @@ def make_dp_v_step(v: Module, config, mesh: Mesh):
     return jax.jit(sharded)
 
 
+def make_dp_v_epoch(v: Module, config, mesh: Mesh, bank, image_shape):
+    """Data-parallel scanned V epoch: reals/gen_reals batch-sharded over
+    the data axis (gen_reals on dim 2 — dim 1 is the 4 generator feeds),
+    branch choices replicated (one generator per global batch, matching the
+    reference's per-batch math.random), grads/acc pmean-ed inside."""
+    from catgen.train import v_trainer
+
+    axis = config.axis_name or DATA_AXIS
+    assert axis in mesh.axis_names
+    epoch = v_trainer.make_train_epoch(v, config, bank, image_shape)
+
+    def dp_epoch(state, reals, gen_reals, branches, sub_branches, submix,
+                 rng):
+        local_rng = fold_in_axis_index(rng, axis)
+        state, m = epoch(state, reals, gen_reals, branches, sub_branches,
+                         submix, local_rng)
+        m = v_trainer.VStepMetrics(
+            loss=lax.pmean(m.loss, axis), acc=lax.pmean(m.acc, axis),
+            tp_real=lax.psum(m.tp_real, axis),
+            tn_fake=lax.psum(m.tn_fake, axis),
+            fp=lax.psum(m.fp, axis), fn=lax.psum(m.fn, axis))
+        return state, m
+
+    sharded = shard_map(
+        dp_epoch, mesh=mesh,
+        in_specs=(P(), P(None, axis), P(None, None, axis), P(None), P(None),
+                  P(None), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def make_dp_ae_step(autoencoder: Module, config, mesh: Mesh):
     """Data-parallel autoencoder pretrain step: (state, images, rng) ->
     (state, loss)."""
@@ -138,6 +171,29 @@ def make_dp_ae_step(autoencoder: Module, config, mesh: Mesh):
     sharded = shard_map(
         dp_step, mesh=mesh,
         in_specs=(P(), P(axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_dp_ae_epoch(autoencoder: Module, config, mesh: Mesh):
+    """Data-parallel scanned pretrain epoch: (state, batches
+    (nb, ndev*B, H, W, C), rng) -> (state, losses (nb,))."""
+    from catgen.train import pretrainer
+
+    axis = config.axis_name or DATA_AXIS
+    assert axis in mesh.axis_names
+    epoch = pretrainer.make_train_epoch(autoencoder, config)
+
+    def dp_epoch(state, batches, rng):
+        local_rng = fold_in_axis_index(rng, axis)
+        state, losses = epoch(state, batches, local_rng)
+        return state, lax.pmean(losses, axis)
+
+    sharded = shard_map(
+        dp_epoch, mesh=mesh,
+        in_specs=(P(), P(None, axis), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )

@@ -299,14 +299,18 @@ class VHarness:
         self.mesh = dist.make_mesh(hc.n_devices) if hc.n_devices > 1 else None
         self.state = v_trainer.init_state(
             self.v, self.vc, jax.random.PRNGKey(hc.seed), hc.image_shape)
-        if self.mesh is not None:
-            self.state = dist.replicate(self.state, self.mesh)
-            self.step = dist.make_dp_v_step(self.v, self.vc, self.mesh)
-        else:
-            self.step = jax.jit(v_trainer.make_train_step(self.v, self.vc))
         h, w, c = hc.image_shape
         bank = synthetic.build_overlay_bank(h, w, n=1000, n_points=10000,
                                             seed=hc.seed)
+        # the epoch (synthetic generation + V updates) is ONE compiled scan:
+        # the per-batch host loop costs a tunnel RTT per batch on TPU
+        if self.mesh is not None:
+            self.state = dist.replicate(self.state, self.mesh)
+            self.epoch_fn = dist.make_dp_v_epoch(self.v, self.vc, self.mesh,
+                                                 bank, hc.image_shape)
+        else:
+            self.epoch_fn = jax.jit(v_trainer.make_train_epoch(
+                self.v, self.vc, bank, hc.image_shape))
         self.factory = synthetic.SyntheticImageFactory(bank, hc.image_shape,
                                                        seed=hc.seed)
         self._np = np.random.RandomState(hc.seed)
@@ -324,31 +328,37 @@ class VHarness:
                         epoch=int(self.state.epoch))
 
     def run_epoch(self) -> dict:
+        """One scanned epoch: pre-stage 5 real batches per step (1 for the
+        half-real V batch + 4 generator feeds), host-draw the sequential
+        branch randomness (train_v.lua:294-316 math.random semantics), run
+        one compiled program, fetch metrics once."""
         t0 = time.time()
-        half = self.vc.batch_size // 2 * max(self.hc.n_devices, 1)
-        n_batches = max(self.hc.n_epoch // self.vc.batch_size, 1)
-        tot_loss, tot_acc = 0.0, 0.0
-        conf = np.zeros(4, np.int64)
-        cache_reals = self.dataset
-
-        def sample_reals(n):
-            return cache_reals.postprocess(cache_reals.sample_uint8(n))
-
-        m = None
-        for b in range(n_batches):
-            reals = sample_reals(half)
-            fakes = self.factory(half, sample_reals)
-            self.state, m = self.step(self.state, reals, fakes,
-                                      jax.random.PRNGKey(self._np.randint(2**31)))
-            tot_loss += float(m.loss)
-            tot_acc += float(m.acc)
-            conf += np.array([int(m.tp_real), int(m.tn_fake), int(m.fp),
-                              int(m.fn)])
+        ndev = max(self.hc.n_devices, 1)
+        half = self.vc.batch_size // 2 * ndev
+        nb = max(self.hc.n_epoch // self.vc.batch_size, 1)
+        raw = self.dataset.sample_uint8(nb * 5 * half)
+        staged = self.dataset.postprocess(raw)
+        staged = staged.reshape((nb, 5, half) + tuple(self.hc.image_shape))
+        reals, gen_reals = staged[:, 0], staged[:, 1:]
+        branches = jnp.asarray(self._np.randint(0, 4, nb), jnp.int32)
+        sub_branches = jnp.asarray(self._np.randint(0, 4, nb), jnp.int32)
+        submix = jnp.asarray(self._np.rand(nb) < 0.33)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            reals = jax.device_put(reals, NamedSharding(
+                self.mesh, P(None, dist.DATA_AXIS)))
+            gen_reals = jax.device_put(gen_reals, NamedSharding(
+                self.mesh, P(None, None, dist.DATA_AXIS)))
+        rng = jax.random.PRNGKey(self._np.randint(2 ** 31))
+        self.state, m = self.epoch_fn(self.state, reals, gen_reals,
+                                      branches, sub_branches, submix, rng)
+        jax.block_until_ready(self.state)
+        conf = [int(jnp.sum(m.tp_real)), int(jnp.sum(m.tn_fake)),
+                int(jnp.sum(m.fp)), int(jnp.sum(m.fn))]
         dt = time.time() - t0
-        self.state = self.state._replace(epoch=self.state.epoch + 1)
         summary = {"epoch": int(self.state.epoch) - 1,
-                   "loss": tot_loss / n_batches,
-                   "acc": tot_acc / n_batches,
+                   "loss": float(jnp.mean(m.loss)),
+                   "acc": float(jnp.mean(m.acc)),
                    "sec": round(dt, 3)}
         self.logger.log("epoch", **summary)
         print(confusion_summary(*conf))
@@ -420,9 +430,10 @@ class PretrainHarness:
             self.ae, self.pc, jax.random.PRNGKey(hc.seed), hc.image_shape)
         if self.mesh is not None:
             self.state = dist.replicate(self.state, self.mesh)
-            self.step = dist.make_dp_ae_step(self.ae, self.pc, self.mesh)
+            self.epoch_fn = dist.make_dp_ae_epoch(self.ae, self.pc, self.mesh)
         else:
-            self.step = jax.jit(pretrainer.make_train_step(self.ae, self.pc))
+            self.epoch_fn = jax.jit(pretrainer.make_train_epoch(self.ae,
+                                                                self.pc))
         self.logger.log("setup", ae_params=param_count(self.state.params))
 
     def _ckpt_path(self) -> str:
@@ -439,19 +450,24 @@ class PretrainHarness:
                         epoch=int(self.state.epoch))
 
     def run_epoch(self) -> dict:
+        """One scanned epoch over pre-staged batches; metrics fetched once
+        (the per-batch loop costs a tunnel RTT per batch on TPU)."""
         t0 = time.time()
         n_batches = max(self.hc.n_epoch // self.pc.batch_size, 1)
         bsz = self.pc.batch_size * max(self.hc.n_devices, 1)
-        tot = 0.0
-        for b in range(n_batches):
-            imgs = self.dataset.load_random_images(bsz)
-            self.state, loss = self.step(self.state, imgs,
-                                         jax.random.PRNGKey(b))
-            tot += float(loss)
-        self.state = self.state._replace(epoch=self.state.epoch + 1)
+        imgs = self.dataset.load_random_images(n_batches * bsz)
+        batches = imgs.reshape((n_batches, bsz) + tuple(imgs.shape[1:]))
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            batches = jax.device_put(batches, NamedSharding(
+                self.mesh, P(None, dist.DATA_AXIS)))
+        rng = jax.random.fold_in(jax.random.PRNGKey(self.hc.seed),
+                                 int(self.state.epoch))
+        self.state, losses = self.epoch_fn(self.state, batches, rng)
+        jax.block_until_ready(self.state)
         dt = time.time() - t0
         summary = {"epoch": int(self.state.epoch) - 1,
-                   "mse": tot / n_batches, "sec": round(dt, 3)}
+                   "mse": float(jnp.mean(losses)), "sec": round(dt, 3)}
         self.logger.log("epoch", **summary)
         return summary
 

@@ -79,6 +79,27 @@ def make_train_step(autoencoder: Module, config: PretrainConfig):
     return step
 
 
+def make_train_epoch(autoencoder: Module, config: PretrainConfig):
+    """Scans the AE step over pre-staged batches: (state, images
+    (nb, B, H, W, C), rng) -> (state, losses (nb,)). One compiled program
+    per epoch — replaces pretrain_g.lua's per-batch host loop (:120-180)
+    and its per-batch device sync."""
+    step = make_train_step(autoencoder, config)
+
+    def epoch_fn(state: AEState, batches, rng):
+        def body(carry, batch):
+            st, i = carry
+            st, loss = step(st, batch, jax.random.fold_in(rng, i))
+            return (st, i + 1), loss
+
+        (state, _), losses = lax.scan(
+            body, (state, jnp.zeros((), jnp.int32)), batches)
+        state = state._replace(epoch=state.epoch + 1)
+        return state, losses
+
+    return epoch_fn
+
+
 def decoder_child_name(autoencoder: Sequential) -> str:
     """The decoder is child 1 of the encoder+decoder Sequential
     (models.lua:246-262)."""

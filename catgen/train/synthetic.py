@@ -257,6 +257,48 @@ def synthetic_random(rng: jax.Array, bank: jnp.ndarray, n: int = 16,
 
 
 # ---------------------------------------------------------------------------
+# traced dispatcher (lax.switch — the whole batch generation is ONE XLA
+# program, scannable inside the V training epoch)
+# ---------------------------------------------------------------------------
+
+
+def make_batch_generator(bank: jnp.ndarray, image_shape: Tuple[int, int, int]):
+    """Returns ``generate(rng, branch, sub_branch, submix, reals4) -> imgs``,
+    fully traced: ``branch``/``sub_branch`` in {0:Mix, 1:Warp, 2:Stamp,
+    3:Random} select the generator via ``lax.switch`` and ``submix`` applies
+    the p=0.33 recursive mix via ``lax.cond`` (createSyntheticImages,
+    train_v.lua:294-316). ``reals4`` is (4, n, H, W, C) fresh random real
+    batches: [0]/[1] feed the primary generator, [2]/[3] the sub-generator
+    (each Lua generator draws its own fresh TRAIN_DATA samples). Branch
+    randomness (which generator, submix) stays host-side so the reference's
+    sequential math.random semantics are preserved; everything pixel-shaped
+    runs on device."""
+    h, w, c = image_shape
+
+    def gen_one(rng, idx, r1, r2):
+        n = r1.shape[0]
+        return lax.switch(idx, [
+            lambda: synthetic_mix(rng, r1, r2, bank),
+            lambda: synthetic_warp(rng, r1, bank),
+            lambda: synthetic_stamp(rng, r1, bank),
+            lambda: synthetic_random(rng, bank, n, h, w, c),
+        ])
+
+    def generate(rng, branch, sub_branch, submix, reals4):
+        k1, k2, k3 = jax.random.split(rng, 3)
+        imgs = gen_one(k1, branch, reals4[0], reals4[1])
+
+        def mixed():
+            other = gen_one(k2, sub_branch, reals4[2], reals4[3])
+            ov = _batch_overlay(k3, bank, h, w)
+            return mix_images(imgs, other, ov)
+
+        return lax.cond(submix, mixed, lambda: imgs)
+
+    return generate
+
+
+# ---------------------------------------------------------------------------
 # dispatcher (host chooses the branch; device does the work)
 # ---------------------------------------------------------------------------
 

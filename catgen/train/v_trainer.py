@@ -113,6 +113,44 @@ def make_train_step(v: Module, config: VConfig):
     return step
 
 
+def make_train_epoch(v: Module, config: VConfig, bank, image_shape):
+    """One compiled program per V epoch (the host-driven loop costs a
+    device->host tunnel round-trip per batch; train_v.lua:115-213 is a
+    per-batch Lua loop — here the synthetic generation AND the training
+    step are scanned together on device).
+
+    (state, reals (nb, B/2, H, W, C), gen_reals (nb, 4, B/2, H, W, C),
+     branches (nb,), sub_branches (nb,), submix (nb,), rng)
+      -> (state, VStepMetrics stacked over nb)
+
+    ``branches``/``sub_branches``/``submix`` carry the host-side sequential
+    randomness (generator choice p=1/4 each, recursive mix p=0.33);
+    ``gen_reals`` are the fresh TRAIN_DATA samples each generator draws.
+    """
+    from catgen.train import synthetic
+
+    step = make_train_step(v, config)
+    generate = synthetic.make_batch_generator(bank, image_shape)
+
+    def epoch_fn(state: VTrainState, reals, gen_reals, branches,
+                 sub_branches, submix, rng):
+        def body(carry, inputs):
+            st, i = carry
+            r, gr, br, sbr, sm = inputs
+            k = jax.random.fold_in(rng, i)
+            fakes = generate(jax.random.fold_in(k, 1), br, sbr, sm, gr)
+            st, m = step(st, r, fakes, k)
+            return (st, i + 1), m
+
+        (state, _), metrics = lax.scan(
+            body, (state, jnp.zeros((), jnp.int32)),
+            (reals, gen_reals, branches, sub_branches, submix))
+        state = state._replace(epoch=state.epoch + 1)
+        return state, metrics
+
+    return epoch_fn
+
+
 def rate_with_v(v: Module, state_or_vars, images: jax.Array) -> jax.Array:
     """Mean p(real) over a batch (nn_utils.rateWithV, nn_utils.lua:686-711)."""
     if isinstance(state_or_vars, VTrainState):

@@ -179,3 +179,47 @@ def test_dp_v_step(rng):
     assert int(new_state.step) == 1
     total = sum(int(x) for x in (m.tp_real, m.tn_fake, m.fp, m.fn))
     assert total == 8 * config.batch_size
+
+
+def test_dp_v_epoch(rng):
+    from catgen.train import synthetic, v_trainer
+    mesh = dist.make_mesh(8)
+    config = v_trainer.VConfig(batch_size=8, axis_name="data")
+    v = nn.Sequential([nn.Flatten(), nn.Dense(8), nn.LeakyReLU(),
+                       nn.Dense(2), nn.Softmax()], name="v")
+    state = dist.replicate(
+        v_trainer.init_state(v, config, jax.random.PRNGKey(0), IMG), mesh)
+    bank = synthetic.build_overlay_bank(IMG[0], IMG[1], n=4, n_points=100,
+                                        seed=0)
+    epoch = dist.make_dp_v_epoch(v, config, mesh, bank, IMG)
+    nb, half = 2, 8 * 4
+    reals = jnp.asarray(rng.rand(nb, half, *IMG).astype(np.float32))
+    gen_reals = jnp.asarray(rng.rand(nb, 4, half, *IMG).astype(np.float32))
+    branches = jnp.asarray([0, 3], jnp.int32)
+    sub_branches = jnp.asarray([2, 1], jnp.int32)
+    submix = jnp.asarray([True, False])
+    new_state, m = epoch(state, reals, gen_reals, branches, sub_branches,
+                         submix, jax.random.PRNGKey(1))
+    assert int(new_state.step) == nb
+    assert m.loss.shape == (nb,)
+    total = sum(int(jnp.sum(x)) for x in (m.tp_real, m.tn_fake, m.fp, m.fn))
+    assert total == nb * 8 * config.batch_size
+
+
+def test_dp_ae_epoch(rng):
+    from catgen.core.module import Sequential
+    from catgen.train import pretrainer
+    mesh = dist.make_mesh(8)
+    config = pretrainer.PretrainConfig(batch_size=4, axis_name="data")
+    enc = Sequential([nn.Flatten(), nn.Dense(4)], name="enc")
+    dec = Sequential([nn.Dense(IMG[0] * IMG[1] * IMG[2]), nn.Sigmoid(),
+                      nn.Reshape(IMG)], name="dec")
+    ae = Sequential([enc, dec], name="ae")
+    state = dist.replicate(
+        pretrainer.init_state(ae, config, jax.random.PRNGKey(0), IMG), mesh)
+    epoch = dist.make_dp_ae_epoch(ae, config, mesh)
+    batches = jnp.asarray(rng.rand(3, 8 * 4, *IMG).astype(np.float32))
+    new_state, losses = epoch(state, batches, jax.random.PRNGKey(1))
+    assert int(new_state.step) == 3
+    assert losses.shape == (3,)
+    assert np.isfinite(np.asarray(losses)).all()

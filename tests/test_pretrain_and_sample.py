@@ -36,6 +36,28 @@ def test_pretrain_loss_decreases(key, rng):
     assert recon.shape == data.shape
 
 
+def test_pretrain_epoch_scan_matches_step_loop(key, rng):
+    ae = tiny_autoencoder()
+    config = pretrainer.PretrainConfig(batch_size=8, noise_dim=NOISE)
+    state = pretrainer.init_state(ae, config, key, IMG)
+    nb = 3
+    batches = jnp.asarray(rng.rand(nb, 8, *IMG).astype(np.float32))
+    epoch = jax.jit(pretrainer.make_train_epoch(ae, config))
+    base = jax.random.PRNGKey(7)
+    s_scan, losses = epoch(state, batches, base)
+    step = jax.jit(pretrainer.make_train_step(ae, config))
+    s_loop = state
+    for i in range(nb):
+        s_loop, _ = step(s_loop, batches[i], jax.random.fold_in(base, i))
+    assert int(s_scan.step) == int(s_loop.step) == nb
+    assert int(s_scan.epoch) == 2
+    for a, b in zip(jax.tree_util.tree_leaves(s_scan.params),
+                    jax.tree_util.tree_leaves(s_loop.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    assert losses.shape == (nb,)
+
+
 def test_decoder_extract_insert_roundtrip(key):
     ae = tiny_autoencoder()
     config = pretrainer.PretrainConfig(batch_size=8, noise_dim=NOISE)

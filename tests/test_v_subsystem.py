@@ -138,3 +138,69 @@ def test_rate_with_v(bank, reals, key):
     assert 0.0 <= float(rating) <= 1.0
     scores = v_trainer.v_scores(v, state, reals)
     assert scores.shape == (reals.shape[0],)
+
+
+def test_batch_generator_branches_match_direct_calls(bank, reals, key):
+    """The traced lax.switch dispatcher must produce exactly what the
+    direct generator calls produce, branch by branch."""
+    gen = synthetic.make_batch_generator(bank, IMG)
+    reals4 = jnp.stack([reals, jnp.roll(reals, 1, 0),
+                        jnp.roll(reals, 2, 0), jnp.roll(reals, 3, 0)])
+    k1, k2, k3 = jax.random.split(key, 3)
+    n = reals.shape[0]
+    expected = [
+        synthetic.synthetic_mix(k1, reals4[0], reals4[1], bank),
+        synthetic.synthetic_warp(k1, reals4[0], bank),
+        synthetic.synthetic_stamp(k1, reals4[0], bank),
+        synthetic.synthetic_random(k1, bank, n, H, W, 3),
+    ]
+    for br in range(4):
+        out = gen(key, jnp.int32(br), jnp.int32(0), jnp.asarray(False),
+                  reals4)
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(expected[br]),
+                                   rtol=1e-5, atol=1e-5)
+    # submix path: primary mixed with the sub-generator's batch through one
+    # shared overlay (mixImageLists)
+    sub = gen(key, jnp.int32(1), jnp.int32(3), jnp.asarray(True), reals4)
+    other = synthetic.synthetic_random(k2, bank, n, H, W, 3)
+    ov = synthetic._batch_overlay(k3, bank, H, W)
+    np.testing.assert_allclose(
+        np.asarray(sub),
+        np.asarray(synthetic.mix_images(expected[1], other, ov)),
+        rtol=1e-5, atol=1e-5)
+
+
+def test_v_epoch_scan_matches_step_loop(bank, key):
+    """Scanned V epoch == manual generate+step loop with the same
+    randomness (same contract as the GAN epoch scan test)."""
+    r = np.random.RandomState(3)
+    v = nn.Sequential([nn.Flatten(), nn.Dense(8), nn.LeakyReLU(),
+                       nn.Dense(2), nn.Softmax()], name="v")
+    cfg = v_trainer.VConfig(batch_size=8)
+    state = v_trainer.init_state(v, cfg, jax.random.PRNGKey(0), IMG)
+    nb, half = 3, 4
+    reals = jnp.asarray(r.rand(nb, half, *IMG).astype(np.float32))
+    gen_reals = jnp.asarray(r.rand(nb, 4, half, *IMG).astype(np.float32))
+    branches = jnp.asarray([0, 2, 3], jnp.int32)
+    sub_branches = jnp.asarray([1, 0, 2], jnp.int32)
+    submix = jnp.asarray([False, True, False])
+    epoch = jax.jit(v_trainer.make_train_epoch(v, cfg, bank, IMG))
+    s_scan, m = epoch(state, reals, gen_reals, branches, sub_branches,
+                      submix, key)
+
+    gen = synthetic.make_batch_generator(bank, IMG)
+    step = v_trainer.make_train_step(v, cfg)
+    s_loop = state
+    for i in range(nb):
+        k = jax.random.fold_in(key, i)
+        fakes = gen(jax.random.fold_in(k, 1), branches[i], sub_branches[i],
+                    submix[i], gen_reals[i])
+        s_loop, _ = step(s_loop, reals[i], fakes, k)
+    assert int(s_scan.step) == int(s_loop.step) == nb
+    assert int(s_scan.epoch) == 2
+    for a, b in zip(jax.tree_util.tree_leaves(s_scan.params),
+                    jax.tree_util.tree_leaves(s_loop.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    assert m.loss.shape == (nb,)
