@@ -35,28 +35,43 @@ def add_common_args(p: argparse.ArgumentParser):
                         "--devices N as N virtual CPU devices (the pinned "
                         "env platform otherwise wins, so a plain env var "
                         "is too late once jax is imported)")
+    p.add_argument("--coordinator", default=None,
+                   help="jax.distributed coordinator host:port "
+                        "(multi-host DP over DCN)")
+    p.add_argument("--numProcesses", type=int, default=None)
+    p.add_argument("--processId", type=int, default=None)
 
 
 def apply_platform(args):
     """Must run before the first jax backend use (jax import alone is fine —
-    the sitecustomize hook imports jax but does not initialize a backend)."""
-    if getattr(args, "platform", "auto") == "auto":
-        return
-    import jax
-    jax.config.update("jax_platforms", args.platform)
-    if args.platform == "cpu" and args.devices > 1:
-        jax.config.update("jax_num_cpu_devices", args.devices)
+    the sitecustomize hook imports jax but does not initialize a backend).
+    Also brings up jax.distributed when a coordinator is given."""
+    if getattr(args, "platform", "auto") != "auto":
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+        if args.platform == "cpu" and args.devices > 1:
+            jax.config.update("jax_num_cpu_devices", args.devices)
+    if getattr(args, "coordinator", None):
+        from catgen import dist
+        dist.initialize(args.coordinator, args.numProcesses, args.processId)
 
 
 def build_dataset(args) -> ImageDataset:
+    import jax
+
+    multiproc = jax.process_count() > 1
     dirs = args.dataset
     if not dirs:
         n = args.fixture or 64
         fixture_dir = os.path.join(args.save, "fixture")
         if not os.path.isdir(fixture_dir) or not os.listdir(fixture_dir):
-            print(f"[data] no --dataset given; writing {n} synthetic cat "
-                  f"faces to {fixture_dir}")
-            write_fixture_dataset(fixture_dir, n=n)
+            if jax.process_index() == 0:
+                print(f"[data] no --dataset given; writing {n} synthetic "
+                      f"cat faces to {fixture_dir}")
+                write_fixture_dataset(fixture_dir, n=n)
+            if multiproc:  # others wait for process 0's files
+                from jax.experimental import multihost_utils
+                multihost_utils.sync_global_devices("fixture_written")
         dirs = [fixture_dir]
     return ImageDataset(dirs, scale=args.scale, colorspace=args.colorSpace,
-                        seed=args.seed)
+                        seed=args.seed, shard_by_process=multiproc)

@@ -49,6 +49,9 @@ def parse_args(argv=None):
                    help="activation compute dtype (bf16 = TPU fast path)")
     p.add_argument("--weightsVisFreq", type=int, default=0,
                    help="write per-layer D activation grids every N epochs")
+    p.add_argument("--visFreq", type=int, default=1,
+                   help="write sample grids/probes every N epochs "
+                        "(--noplot spirit, train.lua:24)")
     p.add_argument("--augment", action="store_true",
                    help="on-device train-time augmentation of real batches "
                         "(offline ×9 corpus semantics applied live)")
@@ -64,7 +67,8 @@ def main(argv=None):
                        colorspace=args.colorSpace, noise_dim=args.noiseDim,
                        seed=args.seed, n_devices=args.devices,
                        g_model=args.G, d_model=args.D, epochs=args.epochs,
-                       weights_vis_freq=args.weightsVisFreq)
+                       weights_vis_freq=args.weightsVisFreq,
+                       vis_freq=max(args.visFreq, 1))
     gc = gan.GanConfig(
         batch_size=args.batchSize,
         d_optimizer=args.D_optmethod, g_optimizer=args.G_optmethod,

@@ -67,8 +67,18 @@ class ImageDataset:
     def __init__(self, dirs: Sequence[str], ext: str = "jpg",
                  scale: int = 32, colorspace: str = "rgb",
                  source_size: int = 64, seed: int = 1,
-                 decoder: Optional[str] = None):
+                 decoder: Optional[str] = None,
+                 shard_by_process: bool = False):
         self.paths = scan_paths(dirs, ext)
+        if shard_by_process:
+            # multi-host DP: each process decodes + caches only its slice
+            # of the (globally sorted) corpus, so host RAM and decode time
+            # scale down with the process count (SURVEY.md §2.3 DCN mapping)
+            import jax
+            pi, pc = jax.process_index(), jax.process_count()
+            self.paths = self.paths[pi::pc]
+            # offset the sampling stream so processes draw different reals
+            seed = seed + 7919 * pi
         self.scale = scale
         self.colorspace = colorspace
         self.source_size = source_size

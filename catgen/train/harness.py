@@ -48,6 +48,10 @@ class HarnessConfig:
     v_model: str = "default"
     epochs: Optional[int] = None  # None = run forever (train.lua:223)
     weights_vis_freq: int = 0     # --weightsVisFreq equivalent (train.lua:46)
+    vis_freq: int = 1             # write grids/probes every N epochs — the
+                                  # reference's --noplot spirit (train.lua:24)
+                                  # for hosts where per-epoch PNG writing
+                                  # dominates the fast TPU epoch
 
     @property
     def image_shape(self):
@@ -273,7 +277,8 @@ class GanHarness:
         epochs = epochs if epochs is not None else self.hc.epochs
         done = 0
         while epochs is None or done < epochs:
-            self.visualize()
+            if done == 0 or int(self.state.epoch) % self.hc.vis_freq == 0:
+                self.visualize()
             self.run_epoch()
             done += 1
             if int(self.state.epoch) % self.hc.save_freq == 0:
