@@ -21,9 +21,11 @@ import os
 
 _UPSAMPLE_IMPLS = ("auto", "collapsed", "pallas", "naive")
 _SAMPLER_IMPLS = ("auto", "xla", "mxu")
+_SAMPLER_KERNELS = ("v1", "v2", "v3", "v4")
 
 upsample_impl = os.environ.get("CATGEN_UPSAMPLE_IMPL", "auto")
 sampler_impl = os.environ.get("CATGEN_SAMPLER_IMPL", "auto")
+sampler_kernel = os.environ.get("CATGEN_SAMPLER_KERNEL", "v4")
 
 
 def _on_tpu() -> bool:
@@ -61,3 +63,26 @@ def set_sampler_impl(name: str) -> None:
     global sampler_impl
     assert name in _SAMPLER_IMPLS, name
     sampler_impl = name
+
+
+def set_sampler_kernel(name: str) -> None:
+    global sampler_kernel
+    assert name in _SAMPLER_KERNELS, name
+    sampler_kernel = name
+
+
+def get_mxu_sampler():
+    """The Pallas bilinear sampler generation selected by
+    CATGEN_SAMPLER_KERNEL (default v4 — the (batch x pixel)-tiled,
+    relayout-free kernel; v1-v3 kept as measured baselines, KERNELS.md)."""
+    if sampler_kernel == "v1":
+        from catgen.kernels.pallas_bilinear import bilinear_sample_mxu
+        return lambda img, crd: bilinear_sample_mxu(img, crd)
+    if sampler_kernel == "v2":
+        from catgen.kernels.pallas_bilinear_v2 import bilinear_sample_sep
+        return lambda img, crd: bilinear_sample_sep(img, crd)
+    if sampler_kernel == "v3":
+        from catgen.kernels.pallas_bilinear_v3 import bilinear_sample_batched
+        return bilinear_sample_batched
+    from catgen.kernels.pallas_bilinear_v4 import bilinear_sample_tiled
+    return bilinear_sample_tiled

@@ -1,0 +1,455 @@
+"""Pallas TPU kernel v4: separable bilinear sampling — lane-wide, tiled,
+relayout-free.
+
+Why v4: profiling the full train step (tools/profile_capture.py) showed
+three problems with v3 (pallas_bilinear_v3.py):
+
+  1. *Latency-bound grids.* v3 keeps ~8 fp32 temporaries of shape
+     (bt, P, H*C) live, so its VMEM auto-tiler is forced down to batch
+     tiles of 1-2 samples -> 256-512 grid steps of a few microseconds
+     each (measured 4-5 ms per call where the arithmetic is worth <1 ms).
+  2. *Relayout tax.* v3 contracts over x first, which needs the image as
+     (W, H*C) — a real transpose. The step profile shows ~13 batch-minor
+     copy ops (~0.2 ms each) shuttling activations into that layout.
+  3. *Hidden lane padding.* Narrow-lane blocks (coords (.., 2), masks
+     (.., H)) pad their minor dim to 128 lanes in VMEM — a 4-64x
+     inflation that silently blows the scoped-VMEM budget.
+
+v4 (same math):
+
+  * contracts over **y first**: the image enters as (H, W*C), the natural
+    NHWC flattening — a *free* reshape both ways.
+  * coords travel as (N, 2, P) "row" layout, which ``affine_grid_rows``
+    emits natively from theta at zero cost (and the input-grid cotangent
+    leaves the same way). Lanes = P, no padding.
+  * every in-kernel array is lane-wide: masks are built transposed —
+    (bt, H, pt)/(bt, W, pt), lanes = pt — and the MXU contracts them
+    directly (dot_general handles the transposed contraction); per-axis
+    weights expand to (., W*C) via one-hot *matmuls*, never via
+    (bt, P, H*C) iota compares on the VPU.
+  * 2-D grid (batch tiles x pixel tiles): the working set per block is
+    (bt*pt, W*C), so blocks reach thousands of matmul rows for any shape.
+  * bf16 operands and bf16 accumulation on the expand matmuls (each
+    output element is a sum of <= 2 nonzero taps, so bf16 accumulation is
+    exact-ish); fp32 accumulation for image/coordinate cotangents.
+
+Backward: dcoords tiles with the pixel grid; d_img accumulates across
+pixel tiles into a revisited fp32 block (pixel axis is the minor/fastest
+grid dimension, as Mosaic requires for revisiting).
+
+Replaces the reference's CPU-pinned torch STN sampler workaround
+(models.lua:888-906) like v1-v3: deterministic matmuls, no scatters.
+
+Math (per sample; A (P,H) / B (P,W) are bilinear weights over y / x):
+
+    out[p, c]  = sum_y A[p, y] * sum_x B[p, x] * img[y, x, c]
+    t          = A @ imgH                    imgH = img.reshape(H, W*C)
+    out        = ((B @ E) * t) @ S           E (W, W*C), S (W*C, C) one-hot
+
+    d_img      = A^T @ ((B @ E) * (g @ S^T))
+    d_fy[p]    = sum_y dA[p, y] * (imgH @ bgb^T)[y, p]
+    d_fx[p]    = sum_xc (dB @ E)[p, xc] * (t * (g @ S^T))[p, xc]
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _weights_rows(y_n, x_n, h, w):
+    """Normalized (bt, pt) y/x coords -> y0,x0 int32, wy,wx,in_y,in_x f32."""
+    fy_raw = (y_n + 1.0) * 0.5 * (h - 1)
+    fx_raw = (x_n + 1.0) * 0.5 * (w - 1)
+    fy = jnp.clip(fy_raw, 0.0, h - 1)
+    fx = jnp.clip(fx_raw, 0.0, w - 1)
+    in_y = ((fy_raw >= 0.0) & (fy_raw <= h - 1)).astype(jnp.float32)
+    in_x = ((fx_raw >= 0.0) & (fx_raw <= w - 1)).astype(jnp.float32)
+    y0 = jnp.clip(jnp.floor(fy), 0, h - 2).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor(fx), 0, w - 2).astype(jnp.int32)
+    wy = fy - y0.astype(jnp.float32)
+    wx = fx - x0.astype(jnp.float32)
+    return y0, x0, wy, wx, in_y, in_x
+
+
+def _mask_t(i0, wgt, size, bt, pt, d=False):
+    """Transposed bilinear (or derivative) weights: (bt, size, pt) bf16.
+    Lanes = pt (wide); the contraction dim lives in sublanes."""
+    sub = jax.lax.broadcasted_iota(jnp.int32, (bt, size, pt), 1)
+    i0b = i0[:, None, :]
+    m0 = (sub == i0b).astype(jnp.float32)
+    m1 = (sub == i0b + 1).astype(jnp.float32)
+    if d:
+        return (m1 - m0).astype(jnp.bfloat16)
+    return (m0 + wgt[:, None, :] * (m1 - m0)).astype(jnp.bfloat16)
+
+
+def _contract_t(mask_t, rhs):
+    """(bt, k, pt) x (bt, k, n) -> (bt, pt, n) bf16: batched matmul with
+    the contraction dim in sublanes of the LHS (MXU takes transposed LHS).
+    Mosaic requires a 32-bit accumulator; the cast back is fused."""
+    return jax.lax.dot_general(
+        mask_t, rhs.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+
+def _expand(mask_t, e_ref):
+    """(bt, k, pt) x (k, kc) -> (bt, pt, kc) bf16: one-hot lane expansion."""
+    return jax.lax.dot_general(
+        mask_t, e_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+
+def _expanders(w: int, c: int):
+    """One-hot helpers (tiny, built outside the kernel):
+    E (w, w*c): E[x, x*c + c'] = 1   (expand per-x weights to lane width)
+    S (w*c, c): S[x*c + c', c'] = 1  (sum out x / select channel)."""
+    import numpy as np
+    e = np.zeros((w, w * c), np.float32)
+    s = np.zeros((w * c, c), np.float32)
+    for x in range(w):
+        for cc in range(c):
+            e[x, x * c + cc] = 1.0
+            s[x * c + cc, cc] = 1.0
+    return jnp.asarray(e, jnp.bfloat16), jnp.asarray(s, jnp.bfloat16)
+
+
+def _fwd_kernel(h: int, w: int, c: int, bt: int, pt: int):
+    def kernel_fn(img_ref, crd_ref, e_ref, s_ref, out_ref):
+        crd = crd_ref[:].astype(jnp.float32)
+        y0, x0, wy, wx, _, _ = _weights_rows(crd[:, 0, :], crd[:, 1, :],
+                                             h, w)
+        a_t = _mask_t(y0, wy, h, bt, pt)                 # (bt, h, pt)
+        t = _contract_t(a_t, img_ref[:])                 # (bt, pt, wc)
+        b_t = _mask_t(x0, wx, w, bt, pt)                 # (bt, w, pt)
+        b_exp = _expand(b_t, e_ref)                      # (bt, pt, wc)
+        out = jax.lax.dot_general(                       # (bt, pt, c) f32
+            b_exp * t, s_ref[:],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out_ref[:] = out.astype(out_ref.dtype)
+
+    return kernel_fn
+
+
+def _bwd_kernel(h: int, w: int, c: int, bt: int, pt: int):
+    def kernel_fn(img_ref, crd_ref, g_ref, e_ref, st_ref,
+                  dimg_ref, dcrd_ref):
+        j = pl.program_id(1)
+        crd = crd_ref[:].astype(jnp.float32)
+        y0, x0, wy, wx, in_y, in_x = _weights_rows(
+            crd[:, 0, :], crd[:, 1, :], h, w)
+
+        b_t = _mask_t(x0, wx, w, bt, pt)                 # (bt, w, pt)
+        b_exp = _expand(b_t, e_ref)                      # (bt, pt, wc)
+        g_exp = jax.lax.dot_general(                     # (bt, pt, wc)
+            g_ref[:].astype(jnp.bfloat16), st_ref[:],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        bgb = b_exp * g_exp
+
+        a_t = _mask_t(y0, wy, h, bt, pt)                 # (bt, h, pt)
+        contrib = jax.lax.dot_general(                   # (bt, h, wc) f32
+            a_t, bgb,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+
+        @pl.when(j == 0)
+        def _init():
+            dimg_ref[:] = contrib
+
+        @pl.when(j > 0)
+        def _acc():
+            dimg_ref[:] = dimg_ref[:] + contrib
+
+        # dfy: v_t[b, y, p] = sum_xc img[b, y, xc] * bgb[b, p, xc]
+        v_t = jax.lax.dot_general(                       # (bt, h, pt) f32
+            img_ref[:].astype(jnp.bfloat16), bgb,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        d_a = _mask_t(y0, wy, h, bt, pt, d=True).astype(jnp.float32)
+        dfy = jnp.sum(d_a * v_t, axis=1)                 # (bt, pt)
+
+        # dfx: sum_xc (dB @ E) * (t * g_exp)
+        t = _contract_t(a_t, img_ref[:])                 # (bt, pt, wc)
+        tg = t * g_exp
+        db_exp = _expand(_mask_t(x0, wx, w, bt, pt, d=True), e_ref)
+        dfx = jnp.sum((db_exp * tg).astype(jnp.float32), axis=2)
+
+        dy = dfy * in_y * (0.5 * (h - 1))
+        dx = dfx * in_x * (0.5 * (w - 1))
+        dcrd_ref[:] = jnp.stack([dy, dx], axis=1).astype(dcrd_ref.dtype)
+
+    return kernel_fn
+
+
+def _dense_mask(y0, x0, wy, wx, h, w, bt, pt, dy=False, dx=False):
+    """Dense bilinear weight matrix M (bt, pt, h*w) bf16:
+    M[p, y*w + x] = A[p, y] * B[p, x] (or the derivative wrt fy/fx).
+    One lane-wide iota; h*w is small here by dispatch rule."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bt, pt, h * w), 2)
+    ly = lane // w
+    lx = lane - ly * w
+    y0b, x0b = y0[..., None], x0[..., None]
+    my0 = (ly == y0b).astype(jnp.float32)
+    my1 = (ly == y0b + 1).astype(jnp.float32)
+    mx0 = (lx == x0b).astype(jnp.float32)
+    mx1 = (lx == x0b + 1).astype(jnp.float32)
+    my = (my1 - my0) if dy else (my0 + wy[..., None] * (my1 - my0))
+    mx = (mx1 - mx0) if dx else (mx0 + wx[..., None] * (mx1 - mx0))
+    return (my * mx).astype(jnp.bfloat16)
+
+
+def _dense_fwd_kernel(h: int, w: int, c: int, bt: int, pt: int):
+    def kernel_fn(img_ref, crd_ref, out_ref):
+        crd = crd_ref[:].astype(jnp.float32)
+        y0, x0, wy, wx, _, _ = _weights_rows(crd[:, 0, :], crd[:, 1, :],
+                                             h, w)
+        m = _dense_mask(y0, x0, wy, wx, h, w, bt, pt)    # (bt, pt, hw)
+        out = jax.lax.dot_general(                       # (bt, pt, c) f32
+            m, img_ref[:].astype(jnp.bfloat16),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        out_ref[:] = out.astype(out_ref.dtype)
+
+    return kernel_fn
+
+
+def _dense_bwd_kernel(h: int, w: int, c: int, bt: int, pt: int):
+    def kernel_fn(img_ref, crd_ref, g_ref, dimg_ref, dcrd_ref):
+        j = pl.program_id(1)
+        crd = crd_ref[:].astype(jnp.float32)
+        y0, x0, wy, wx, in_y, in_x = _weights_rows(
+            crd[:, 0, :], crd[:, 1, :], h, w)
+        g = g_ref[:].astype(jnp.bfloat16)
+
+        m = _dense_mask(y0, x0, wy, wx, h, w, bt, pt)
+        contrib = jax.lax.dot_general(                   # (bt, hw, c) f32
+            m, g,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+
+        @pl.when(j == 0)
+        def _init():
+            dimg_ref[:] = contrib
+
+        @pl.when(j > 0)
+        def _acc():
+            dimg_ref[:] = dimg_ref[:] + contrib
+
+        # imgg[p, yx] = sum_c g[p, c] * img[yx, c]  (K = c, full rows)
+        imgg = jax.lax.dot_general(                      # (bt, pt, hw) f32
+            g, img_ref[:].astype(jnp.bfloat16),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dmy = _dense_mask(y0, x0, wy, wx, h, w, bt, pt,
+                          dy=True).astype(jnp.float32)
+        dfy = jnp.sum(dmy * imgg, axis=2)                # (bt, pt)
+        dmx = _dense_mask(y0, x0, wy, wx, h, w, bt, pt,
+                          dx=True).astype(jnp.float32)
+        dfx = jnp.sum(dmx * imgg, axis=2)
+
+        dy = dfy * in_y * (0.5 * (h - 1))
+        dx = dfx * in_x * (0.5 * (w - 1))
+        dcrd_ref[:] = jnp.stack([dy, dx], axis=1).astype(dcrd_ref.dtype)
+
+    return kernel_fn
+
+
+# sampling formulation dispatch: the dense one-hot matrix M is (P, H*W) —
+# for small feature maps one full-K matmul beats two K=H underfilled
+# separable contractions plus lane expansions (measured, KERNELS.md §2)
+_DENSE_MAX_HW = 256
+
+
+def _dense_tiles(n: int, p: int, h: int, w: int, c: int, bwd: bool):
+    hw_pad = max(((h * w + 127) // 128) * 128, 128)
+    big = 4 if bwd else 3                       # mask builds + f32 staging
+    bytes_per_row = big * 4 * hw_pad + 4 * 128
+    budget = 11 * 1024 * 1024
+    rows = max(budget // bytes_per_row, 128)
+    pt = p
+    while pt > max(rows, 256) and pt % 2 == 0:
+        pt //= 2
+    bt = max(int(rows // pt), 1)
+    bt = min(bt, n)
+    while n % bt:
+        bt -= 1
+    return bt, pt
+
+
+def _tiles(n: int, p: int, h: int, w: int, c: int, bwd: bool):
+    """(bt, pt): maximize matmul rows per block within the VMEM budget.
+
+    Row cost counts the (rows, W*C)-shaped bf16 temporaries (lane-padded)
+    plus the fp32 (rows, c->128) result staging; image-height blocks and
+    masks scale with bt / small dims and are charged separately."""
+    wc_pad = max(((w * c + 127) // 128) * 128, 128)
+    big = 3 if not bwd else 5
+    bytes_per_row = big * 2 * wc_pad + 4 * 128
+    budget = 11 * 1024 * 1024
+    rows = max(budget // bytes_per_row, 128)
+
+    pt = p
+    while pt > max(rows, 256) and pt % 2 == 0:
+        pt //= 2
+    bt = max(int(rows // pt), 1)
+    bt = min(bt, n)
+    while n % bt:
+        bt -= 1
+    # (bt, h, wc) image (+ f32 d_img accumulator) blocks, double-buffered
+    img_bytes = h * wc_pad * (2 + (4 + 4 if bwd else 0))
+    while bt > 1 and 2 * bt * img_bytes > 4 * 1024 * 1024:
+        bt -= 1
+    while n % bt:
+        bt -= 1
+    return bt, pt
+
+
+def _forward(img, coords_rows, out_hw, interpret):
+    n, h, w, c = img.shape
+    ho, wo = out_hw
+    p = ho * wo
+    assert coords_rows.shape == (n, 2, p), (coords_rows.shape, (n, 2, p))
+    if h * w <= _DENSE_MAX_HW:
+        bt, pt = _dense_tiles(n, p, h, w, c, bwd=False)
+        out = pl.pallas_call(
+            _dense_fwd_kernel(h, w, c, bt, pt),
+            grid=(n // bt, p // pt),
+            in_specs=[
+                pl.BlockSpec((bt, h * w, c), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bt, 2, pt), lambda i, j: (i, 0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bt, pt, c), lambda i, j: (i, j, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n, p, c), img.dtype),
+            interpret=interpret,
+        )(img.reshape(n, h * w, c), coords_rows)
+        return out.reshape(n, ho, wo, c)
+    bt, pt = _tiles(n, p, h, w, c, bwd=False)
+    e, s = _expanders(w, c)
+    img_h = img.reshape(n, h, w * c)                     # free reshape
+    out = pl.pallas_call(
+        _fwd_kernel(h, w, c, bt, pt),
+        grid=(n // bt, p // pt),
+        in_specs=[
+            pl.BlockSpec((bt, h, w * c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 2, pt), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, w * c), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w * c, c), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, pt, c), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, p, c), img.dtype),
+        interpret=interpret,
+    )(img_h, coords_rows, e, s)
+    return out.reshape(n, ho, wo, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def bilinear_sample_rows(img: jax.Array, coords_rows: jax.Array,
+                         out_hw: tuple, interpret: bool = False) -> jax.Array:
+    """Lane-wide tiled MXU bilinear sampler.
+
+    img (N, H, W, C); coords_rows (N, 2, Ho*Wo) normalized (y; x) rows —
+    the zero-relayout layout ``affine_grid_rows`` emits. Returns
+    (N, Ho, Wo, C). Same sampling semantics as
+    spatial_transformer.bilinear_sample (edge-clamped bilinear, grads to
+    both image and coordinates)."""
+    return _forward(img, coords_rows, out_hw, interpret)
+
+
+def _fwd(img, coords_rows, out_hw, interpret):
+    return _forward(img, coords_rows, out_hw, interpret), (img, coords_rows)
+
+
+def _bwd(out_hw, interpret, res, g):
+    img, coords_rows = res
+    n, h, w, c = img.shape
+    ho, wo = out_hw
+    p = ho * wo
+    if h * w <= _DENSE_MAX_HW:
+        bt, pt = _dense_tiles(n, p, h, w, c, bwd=True)
+        dimg_f, dcrd = pl.pallas_call(
+            _dense_bwd_kernel(h, w, c, bt, pt),
+            grid=(n // bt, p // pt),
+            in_specs=[
+                pl.BlockSpec((bt, h * w, c), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bt, 2, pt), lambda i, j: (i, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bt, pt, c), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((bt, h * w, c), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bt, 2, pt), lambda i, j: (i, 0, j),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((n, h * w, c), jnp.float32),
+                jax.ShapeDtypeStruct((n, 2, p), coords_rows.dtype),
+            ),
+            interpret=interpret,
+        )(img.reshape(n, h * w, c), coords_rows, g.reshape(n, p, c))
+        return dimg_f.reshape(n, h, w, c).astype(img.dtype), dcrd
+    bt, pt = _tiles(n, p, h, w, c, bwd=True)
+    e, s = _expanders(w, c)
+    img_h = img.reshape(n, h, w * c)
+    g2 = g.reshape(n, p, c)
+    dimg_h, dcrd = pl.pallas_call(
+        _bwd_kernel(h, w, c, bt, pt),
+        grid=(n // bt, p // pt),
+        in_specs=[
+            pl.BlockSpec((bt, h, w * c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 2, pt), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, pt, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, w * c), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, w * c), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bt, h, w * c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 2, pt), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, h, w * c), jnp.float32),
+            jax.ShapeDtypeStruct((n, 2, p), coords_rows.dtype),
+        ),
+        interpret=interpret,
+    )(img_h, coords_rows, g2, e, s.T)
+    dimg = dimg_h.reshape(n, h, w, c).astype(img.dtype)  # free reshape
+    return dimg, dcrd
+
+
+bilinear_sample_rows.defvjp(_fwd, _bwd)
+
+
+def bilinear_sample_tiled(img: jax.Array, coords: jax.Array,
+                          interpret: bool = False) -> jax.Array:
+    """NHWC-coords convenience wrapper: coords (N, Ho, Wo, 2) like
+    spatial_transformer.bilinear_sample. Pays one small coord transpose;
+    the ST modules use ``affine_grid_rows`` + ``bilinear_sample_rows``
+    to skip it."""
+    n, ho, wo, _ = coords.shape
+    rows = coords.reshape(n, ho * wo, 2).transpose(0, 2, 1)
+    return bilinear_sample_rows(img, rows, (ho, wo), interpret)

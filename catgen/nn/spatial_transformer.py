@@ -83,6 +83,20 @@ def affine_grid(theta: jax.Array, height: int, width: int) -> jax.Array:
     return jnp.einsum("bij,hwj->bhwi", theta, base)
 
 
+def affine_grid_rows(theta: jax.Array, height: int, width: int) -> jax.Array:
+    """(B,2,3) affine matrices -> (B, 2, H*W) normalized (y; x) coord rows.
+
+    Same grid as ``affine_grid`` but emitted in the lane-wide layout the
+    v4 Pallas sampler consumes directly (lanes = pixels) — no relayout
+    between the grid generator and the sampler."""
+    ys = jnp.linspace(-1.0, 1.0, height, dtype=theta.dtype)
+    xs = jnp.linspace(-1.0, 1.0, width, dtype=theta.dtype)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    base = jnp.stack([gy.reshape(-1), gx.reshape(-1),
+                      jnp.ones((height * width,), theta.dtype)], axis=0)
+    return jnp.einsum("bij,jp->bip", theta, base)        # (B, 2, P)
+
+
 def bilinear_sample(img: jax.Array, coords: jax.Array) -> jax.Array:
     """Samples NHWC ``img`` at normalized (y, x) ``coords`` (B,Ho,Wo,2).
 
@@ -222,17 +236,22 @@ class SpatialTransformer(Module):
         params, head_state = self.head.apply(
             child_variables(variables, "head"), feats, train=train, rng=rng)
         theta = affine_matrix(params.astype(jnp.float32), *self.flags)
-        grid = affine_grid(theta, x.shape[1], x.shape[2])
+        h, w = x.shape[1], x.shape[2]
         from catgen.kernels import config as kconfig
         if kconfig.resolve_sampler_impl() == "mxu":
-            # the separable kernel (v2) measured fastest across all ST
-            # shapes in this model family (tools/perf_probe.py); the dense
-            # one-hot kernel (pallas_bilinear.py) is kept as a reference
-            # implementation
-            from catgen.kernels.pallas_bilinear_v3 import \
-                bilinear_sample_batched
-            y = bilinear_sample_batched(x, grid.astype(x.dtype))
+            # kernel generation picked by CATGEN_SAMPLER_KERNEL (default
+            # v4, the lane-wide relayout-free kernel — measured fastest
+            # end-to-end; v1-v3 kept as baselines, KERNELS.md §2)
+            if kconfig.sampler_kernel == "v4":
+                from catgen.kernels.pallas_bilinear_v4 import \
+                    bilinear_sample_rows
+                rows = affine_grid_rows(theta, h, w).astype(x.dtype)
+                y = bilinear_sample_rows(x, rows, (h, w))
+            else:
+                grid = affine_grid(theta, h, w)
+                y = kconfig.get_mxu_sampler()(x, grid.astype(x.dtype))
         else:
+            grid = affine_grid(theta, h, w)
             y = bilinear_sample(x, grid.astype(x.dtype))
         return y, {"loc": loc_state, "head": head_state}
 
@@ -278,6 +297,8 @@ class FusedSTBranches(Module):
 
         n, h, w, _ = x.shape
         new_state = {}
+        use_v4 = (kconfig.resolve_sampler_impl() == "mxu"
+                  and kconfig.sampler_kernel == "v4")
         grids = []
         for i in range(len(self.tails)):
             feats, st_l = self.locs[i].apply(
@@ -287,15 +308,21 @@ class FusedSTBranches(Module):
                 child_variables(variables, f"head{i}"), feats, train=train,
                 rng=None)
             theta = affine_matrix(params.astype(jnp.float32), *self.flags)
-            grids.append(affine_grid(theta, h, w))
+            grids.append(affine_grid_rows(theta, h, w) if use_v4
+                         else affine_grid(theta, h, w))
             new_state[f"loc{i}"] = st_l
             new_state[f"head{i}"] = st_h
-        stacked = jnp.concatenate(grids, axis=1)  # (N, n_tails*H, W, 2)
-        if kconfig.resolve_sampler_impl() == "mxu":
-            from catgen.kernels.pallas_bilinear_v3 import \
-                bilinear_sample_batched
-            sampled = bilinear_sample_batched(x, stacked.astype(x.dtype))
+        if use_v4:
+            from catgen.kernels.pallas_bilinear_v4 import \
+                bilinear_sample_rows
+            stacked = jnp.concatenate(grids, axis=2)     # (N, 2, n_tails*P)
+            sampled = bilinear_sample_rows(
+                x, stacked.astype(x.dtype), (len(self.tails) * h, w))
+        elif kconfig.resolve_sampler_impl() == "mxu":
+            stacked = jnp.concatenate(grids, axis=1)  # (N, n_tails*H, W, 2)
+            sampled = kconfig.get_mxu_sampler()(x, stacked.astype(x.dtype))
         else:
+            stacked = jnp.concatenate(grids, axis=1)
             sampled = bilinear_sample(x, stacked.astype(x.dtype))
         outs = []
         for i in range(len(self.tails)):

@@ -131,3 +131,43 @@ def test_upsample_conv_bwd_impl_options(key, rng, monkeypatch):
     for a, b_ in zip(grads["collapsed"], grads["naive"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# tiled relayout-free sampler (v4)
+# ---------------------------------------------------------------------------
+
+from catgen.kernels.pallas_bilinear_v4 import bilinear_sample_tiled  # noqa: E402
+
+
+@pytest.mark.parametrize("shape", [(4, 8, 6, 3, 8, 6),
+                                   (2, 16, 16, 64, 48, 16),
+                                   (3, 32, 32, 3, 32, 32)])
+def test_v4_sampler_matches_xla(rng, shape):
+    n, h, w, c, ho, wo = shape
+    img = jnp.asarray(rng.rand(n, h, w, c).astype(np.float32))
+    coords = jnp.asarray(
+        rng.uniform(-1.2, 1.2, (n, ho, wo, 2)).astype(np.float32))
+    got = bilinear_sample_tiled(img, coords, True)
+    want = bilinear_sample(img, coords)
+    # kernel computes with bf16 operands (fp32 accumulation): ~0.4% rel
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=1e-2)
+
+
+@pytest.mark.parametrize("shape", [(4, 8, 6, 3, 8, 6),
+                                   (2, 16, 16, 64, 48, 16)])
+def test_v4_sampler_vjp_matches_xla(rng, shape):
+    n, h, w, c, ho, wo = shape
+    img = jnp.asarray(rng.rand(n, h, w, c).astype(np.float32))
+    coords = jnp.asarray(
+        rng.uniform(-1.1, 1.1, (n, ho, wo, 2)).astype(np.float32))
+    g = jnp.asarray(rng.randn(n, ho, wo, c).astype(np.float32))
+    _, vjp_v4 = jax.vjp(lambda i, cd: bilinear_sample_tiled(i, cd, True),
+                        img, coords)
+    _, vjp_ref = jax.vjp(bilinear_sample, img, coords)
+    for a, b in zip(vjp_v4(g), vjp_ref(g)):
+        scale = max(float(jnp.max(jnp.abs(b))), 1.0)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale,
+                                   rtol=2e-2, atol=6e-3)

@@ -154,6 +154,91 @@ def probe_sampler(bs, dtype, k):
                        img0, k)
 
 
+def probe_sampler_bwd(bs, dtype, k):
+    """fwd+bwd cost of the v3 sampler at the two D32_st3 shapes:
+    input ST (32x32x3 -> 32x32) and the fused 3-branch ST
+    (16x16x64 -> 48x16)."""
+    from catgen.nn.spatial_transformer import affine_grid
+    from catgen.kernels import config as kconfig
+    bilinear_sample_batched = kconfig.get_mxu_sampler()
+    kname = kconfig.sampler_kernel
+    r = np.random.RandomState(0)
+    for (h, c, n_tails) in [(32, 3, 1), (16, 64, 3)]:
+        img0 = jnp.asarray(r.rand(bs, h, h, c).astype(np.float32)).astype(dtype)
+        theta = jnp.tile(jnp.asarray([[[0.9, 0.05, 0.01],
+                                       [-0.05, 0.9, 0.0]]]), (bs, 1, 1))
+        grid = affine_grid(theta, h, h).astype(dtype)
+        grid = jnp.concatenate([grid] * n_tails, axis=1)
+
+        @jax.jit
+        def fwd_chain(img):
+            def body(i, x):
+                y = bilinear_sample_batched(x, grid)
+                return x * 0.999 + y[:, :h] * 1e-3
+            return jax.lax.fori_loop(0, k, body, img)
+
+        time_chain(f"{kname} fwd {h}x{h}x{c} P={n_tails * h * h} bs={bs}",
+                   fwd_chain, img0, k)
+
+        @jax.jit
+        def bwd_chain(img):
+            def loss(x, g_):
+                return jnp.sum(bilinear_sample_batched(
+                    x, g_).astype(jnp.float32))
+
+            def body(i, x):
+                dx, dg = jax.grad(loss, argnums=(0, 1))(x, grid)
+                return x * 0.999 + dx.astype(x.dtype) * 1e-6
+            return jax.lax.fori_loop(0, k, body, img)
+
+        time_chain(f"{kname} fwd+bwd {h}x{h}x{c} P={n_tails * h * h} bs={bs}",
+                   bwd_chain, img0, k)
+
+
+def probe_gstages(bs, dtype, k):
+    """Per-stage fused upsample-conv fwd / fwd+bwd (the G32up-c ladder)."""
+    from catgen.kernels.pallas_upsample_conv import upsample2_conv_bias
+    r = np.random.RandomState(0)
+    stages = [  # (h, w, cin, cout, ksize)  — models.lua:196-228 ladder
+        (4, 4, 512, 512, 3),
+        (8, 8, 512, 256, 3),
+        (16, 16, 256, 128, 5),
+    ]
+    for (h, w, cin, cout, ks) in stages:
+        x0 = jnp.asarray(r.rand(bs, h, w, cin).astype(np.float32)).astype(dtype)
+        kern = jnp.asarray(
+            r.randn(ks, ks, cin, cout).astype(np.float32) * 0.05)
+        bias = jnp.zeros((cout,), jnp.float32)
+        macs = bs * (2 * h) * (2 * w) * cout * cin * ((ks + 1) // 2) ** 2
+
+        @jax.jit
+        def fwd_chain(x):
+            def body(i, x):
+                y = upsample2_conv_bias(x, kern, bias)
+                return x * 0.999 + y[:, :h, :w, :cin] * 1e-3
+            return jax.lax.fori_loop(0, k, body, x)
+
+        dt = time_chain(f"stage {h}x{h}x{cin}->{cout} k{ks} fwd bs={bs}",
+                        fwd_chain, x0, k)
+        print(f"    {2 * macs / dt / 1e12:6.1f} TF/s", flush=True)
+
+        @jax.jit
+        def bwd_chain(x):
+            def loss(x_, k_):
+                return jnp.sum(upsample2_conv_bias(
+                    x_, k_, bias).astype(jnp.float32))
+
+            def body(i, x):
+                dx, dk = jax.grad(loss, argnums=(0, 1))(x, kern)
+                return x * 0.999 + dx.astype(x.dtype) * 1e-6
+            return jax.lax.fori_loop(0, k, body, x)
+
+        dt = time_chain(f"stage {h}x{h}x{cin}->{cout} k{ks} f+b bs={bs}",
+                        bwd_chain, x0, k)
+        print(f"    {3 * 2 * macs / dt / 1e12:6.1f} TF/s (f+b counted 3x)",
+              flush=True)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("what", nargs="?", default="all")
@@ -169,6 +254,10 @@ def main():
         probe_d(args.bs, dtype, args.k, args.d)
     if args.what in ("sampler", "all"):
         probe_sampler(args.bs, dtype, args.k)
+    if args.what == "samplerbwd":
+        probe_sampler_bwd(args.bs, dtype, args.k)
+    if args.what == "gstages":
+        probe_gstages(args.bs, dtype, args.k)
     if args.what in ("step", "all"):
         probe_step(args.bs, dtype, args.k, args.d)
 
