@@ -44,26 +44,30 @@ def _fetch(tree):
     return float(jnp.sum(leaf.astype(jnp.float32).ravel()[:8]))
 
 
-def bench_train(batch, steps, dtype):
+def bench_train(batch, steps, dtype, augment):
+    """True training loop: an epoch of *fresh* real half-batches is
+    pre-staged on device (as GanHarness.run_epoch does) and consumed by
+    the scanned epoch program — every step trains on distinct data, with
+    on-device augmentation optionally enabled (adversarial.lua epoch
+    semantics, not a same-batch dispatch loop)."""
     from catgen import models
     from catgen.train import gan
 
     config = gan.GanConfig(batch_size=batch, noise_dim=NOISE_DIM,
-                           acc_window=20, compute_dtype=dtype)
+                           acc_window=20, compute_dtype=dtype,
+                           augment=augment)
     g = models.create_G_decoder_upsampling32c(IMG, NOISE_DIM)
     d = models.create_D32_st3(IMG)
     state = gan.init_state(g, d, config, jax.random.PRNGKey(0), IMG)
-    step = jax.jit(gan.make_train_step(g, d, config), donate_argnums=(0,))
-    reals = jnp.asarray(
-        np.random.RandomState(0).rand(batch // 2, *IMG).astype(np.float32))
+    epoch = jax.jit(gan.make_train_epoch(g, d, config), donate_argnums=(0,))
+    reals = jnp.asarray(np.random.RandomState(0).rand(
+        steps, batch // 2, *IMG).astype(np.float32))
 
-    for i in range(3):
-        state, metrics = step(state, reals, jax.random.PRNGKey(i))
+    state, _ = epoch(state, reals, jax.random.PRNGKey(1))   # compile+warm
     _fetch(state)
 
     t0 = time.perf_counter()
-    for i in range(steps):
-        state, metrics = step(state, reals, jax.random.PRNGKey(100 + i))
+    state, metrics = epoch(state, reals, jax.random.PRNGKey(2))
     _fetch(state)
     dt = time.perf_counter() - t0
 
@@ -71,7 +75,8 @@ def bench_train(batch, steps, dtype):
     imgs_per_sec = 2 * batch * steps / dt / n_chips
     return {
         "metric": "combined G+D train images/sec/chip @32x32 "
-                  "(G32up-c vs D32_st3, bf16)",
+                  "(G32up-c vs D32_st3, bf16, fresh data"
+                  + (", augmented" if augment else "") + ")",
         "value": round(imgs_per_sec, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec / TARGET, 3),
@@ -127,10 +132,11 @@ def main():
     dtype = (jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16"
              else jnp.float32)
     mode = os.environ.get("BENCH_MODE", "train")
+    augment = os.environ.get("BENCH_AUGMENT", "1") == "1"
     if mode == "infer":
         result = bench_infer(max(steps, 5), dtype)
     else:
-        result = bench_train(batch, steps, dtype)
+        result = bench_train(batch, steps, dtype, augment)
     print(json.dumps(result))
 
 

@@ -84,8 +84,19 @@ def augment_batch(rng: jax.Array, images: jnp.ndarray,
     row0 = jnp.stack([cos, -sin * flip, ty], axis=-1)
     row1 = jnp.stack([sin, cos * flip, tx], axis=-1)
     theta = jnp.stack([row0, row1], axis=1)           # (N,2,3)
-    grid = affine_grid(theta, h, w)
-    out = bilinear_sample(images, grid)
+    from catgen.kernels import config as kconfig
+    if (kconfig.resolve_sampler_impl() == "mxu"
+            and kconfig.sampler_kernel == "v4"):
+        # data path, no grads needed: the lane-wide Pallas sampler is
+        # ~10x the gather formulation at 32x32x3 (KERNELS.md §2); bf16
+        # operand rounding is immaterial under +-15% brightness noise
+        from catgen.kernels.pallas_bilinear_v4 import bilinear_sample_rows
+        from catgen.nn.spatial_transformer import affine_grid_rows
+        rows = affine_grid_rows(theta, h, w).astype(dtype)
+        out = bilinear_sample_rows(images, rows, (h, w))
+    else:
+        grid = affine_grid(theta, h, w)
+        out = bilinear_sample(images, grid)
 
     # multiplicative brightness +-15%, matching the offline pipeline and the
     # reference (generate_dataset.py:73 via ImageAugmenter multiply semantics,

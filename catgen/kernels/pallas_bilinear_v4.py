@@ -189,20 +189,28 @@ def _bwd_kernel(h: int, w: int, c: int, bt: int, pt: int):
     return kernel_fn
 
 
-def _dense_mask(y0, x0, wy, wx, h, w, bt, pt, dy=False, dx=False):
-    """Dense bilinear weight matrix M (bt, pt, h*w) bf16:
-    M[p, y*w + x] = A[p, y] * B[p, x] (or the derivative wrt fy/fx).
-    One lane-wide iota; h*w is small here by dispatch rule."""
+def _dense_mask_parts(y0, x0, wy, wx, h, w, bt, pt):
+    """Per-axis dense weights my, mx, dmy, dmx — all (bt, pt, h*w) f32,
+    built from one lane-wide iota and four compares (shared between the
+    value mask M = my*mx and both derivative masks). f32 VPU arithmetic
+    measured faster than bf16 here (conversion overhead dominates)."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (bt, pt, h * w), 2)
     ly = lane // w
     lx = lane - ly * w
     y0b, x0b = y0[..., None], x0[..., None]
     my0 = (ly == y0b).astype(jnp.float32)
-    my1 = (ly == y0b + 1).astype(jnp.float32)
+    dmy = (ly == y0b + 1).astype(jnp.float32) - my0
     mx0 = (lx == x0b).astype(jnp.float32)
-    mx1 = (lx == x0b + 1).astype(jnp.float32)
-    my = (my1 - my0) if dy else (my0 + wy[..., None] * (my1 - my0))
-    mx = (mx1 - mx0) if dx else (mx0 + wx[..., None] * (mx1 - mx0))
+    dmx = (lx == x0b + 1).astype(jnp.float32) - mx0
+    my = my0 + wy[..., None] * dmy
+    mx = mx0 + wx[..., None] * dmx
+    return my, mx, dmy, dmx
+
+
+def _dense_mask(y0, x0, wy, wx, h, w, bt, pt):
+    """Dense bilinear weight matrix M (bt, pt, h*w) bf16:
+    M[p, y*w + x] = A[p, y] * B[p, x]."""
+    my, mx, _, _ = _dense_mask_parts(y0, x0, wy, wx, h, w, bt, pt)
     return (my * mx).astype(jnp.bfloat16)
 
 
@@ -229,9 +237,9 @@ def _dense_bwd_kernel(h: int, w: int, c: int, bt: int, pt: int):
             crd[:, 0, :], crd[:, 1, :], h, w)
         g = g_ref[:].astype(jnp.bfloat16)
 
-        m = _dense_mask(y0, x0, wy, wx, h, w, bt, pt)
+        my, mx, dmy, dmx = _dense_mask_parts(y0, x0, wy, wx, h, w, bt, pt)
         contrib = jax.lax.dot_general(                   # (bt, hw, c) f32
-            m, g,
+            (my * mx).astype(jnp.bfloat16), g,
             dimension_numbers=(((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
 
@@ -248,12 +256,8 @@ def _dense_bwd_kernel(h: int, w: int, c: int, bt: int, pt: int):
             g, img_ref[:].astype(jnp.bfloat16),
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
-        dmy = _dense_mask(y0, x0, wy, wx, h, w, bt, pt,
-                          dy=True).astype(jnp.float32)
-        dfy = jnp.sum(dmy * imgg, axis=2)                # (bt, pt)
-        dmx = _dense_mask(y0, x0, wy, wx, h, w, bt, pt,
-                          dx=True).astype(jnp.float32)
-        dfx = jnp.sum(dmx * imgg, axis=2)
+        dfy = jnp.sum(dmy * mx * imgg, axis=2)           # (bt, pt)
+        dfx = jnp.sum(my * dmx * imgg, axis=2)
 
         dy = dfy * in_y * (0.5 * (h - 1))
         dx = dfx * in_x * (0.5 * (w - 1))
@@ -268,11 +272,19 @@ def _dense_bwd_kernel(h: int, w: int, c: int, bt: int, pt: int):
 _DENSE_MAX_HW = 256
 
 
+# Per-kernel scoped-VMEM ceiling. The Mosaic default is 16 MB but v5e has
+# 128 MB of VMEM; raising the limit lets blocks grow ~4x, which divides the
+# grid-step count (these kernels are pipeline/latency-bound, not FLOP-bound).
+V4_VMEM_LIMIT = 64 * 1024 * 1024
+V4_BUDGET = 40 * 1024 * 1024
+
+
 def _dense_tiles(n: int, p: int, h: int, w: int, c: int, bwd: bool):
     hw_pad = max(((h * w + 127) // 128) * 128, 128)
-    big = 4 if bwd else 3                       # mask builds + f32 staging
-    bytes_per_row = big * 4 * hw_pad + 4 * 128
-    budget = 11 * 1024 * 1024
+    # bwd: 4 f32 mask parts + m (bf16) + the f32 imgg + iota staging;
+    # fwd: 2 f32 mask parts + m (bf16) + iota staging
+    bytes_per_row = (26 if bwd else 14) * hw_pad + 4 * 128
+    budget = V4_BUDGET
     rows = max(budget // bytes_per_row, 128)
     pt = p
     while pt > max(rows, 256) and pt % 2 == 0:
@@ -293,7 +305,7 @@ def _tiles(n: int, p: int, h: int, w: int, c: int, bwd: bool):
     wc_pad = max(((w * c + 127) // 128) * 128, 128)
     big = 3 if not bwd else 5
     bytes_per_row = big * 2 * wc_pad + 4 * 128
-    budget = 11 * 1024 * 1024
+    budget = V4_BUDGET
     rows = max(budget // bytes_per_row, 128)
 
     pt = p
@@ -305,7 +317,7 @@ def _tiles(n: int, p: int, h: int, w: int, c: int, bwd: bool):
         bt -= 1
     # (bt, h, wc) image (+ f32 d_img accumulator) blocks, double-buffered
     img_bytes = h * wc_pad * (2 + (4 + 4 if bwd else 0))
-    while bt > 1 and 2 * bt * img_bytes > 4 * 1024 * 1024:
+    while bt > 1 and 2 * bt * img_bytes > V4_BUDGET // 3:
         bt -= 1
     while n % bt:
         bt -= 1
@@ -331,6 +343,9 @@ def _forward(img, coords_rows, out_hw, interpret):
             out_specs=pl.BlockSpec((bt, pt, c), lambda i, j: (i, j, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((n, p, c), img.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+                vmem_limit_bytes=V4_VMEM_LIMIT),
             interpret=interpret,
         )(img.reshape(n, h * w, c), coords_rows)
         return out.reshape(n, ho, wo, c)
@@ -353,6 +368,9 @@ def _forward(img, coords_rows, out_hw, interpret):
         out_specs=pl.BlockSpec((bt, pt, c), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, p, c), img.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=V4_VMEM_LIMIT),
         interpret=interpret,
     )(img_h, coords_rows, e, s)
     return out.reshape(n, ho, wo, c)
@@ -403,6 +421,9 @@ def _bwd(out_hw, interpret, res, g):
                 jax.ShapeDtypeStruct((n, h * w, c), jnp.float32),
                 jax.ShapeDtypeStruct((n, 2, p), coords_rows.dtype),
             ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+                vmem_limit_bytes=V4_VMEM_LIMIT),
             interpret=interpret,
         )(img.reshape(n, h * w, c), coords_rows, g.reshape(n, p, c))
         return dimg_f.reshape(n, h, w, c).astype(img.dtype), dcrd
@@ -435,6 +456,9 @@ def _bwd(out_hw, interpret, res, g):
             jax.ShapeDtypeStruct((n, h, w * c), jnp.float32),
             jax.ShapeDtypeStruct((n, 2, p), coords_rows.dtype),
         ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=V4_VMEM_LIMIT),
         interpret=interpret,
     )(img_h, coords_rows, g2, e, s.T)
     dimg = dimg_h.reshape(n, h, w, c).astype(img.dtype)  # free reshape

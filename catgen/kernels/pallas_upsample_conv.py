@@ -71,12 +71,14 @@ def _collapsed_weights_and_pads(kernel: jax.Array):
 
 def _make_kernel(h: int, w: int, cin: int, cout_t: int, bt: int,
                  tap_hw: Tuple[int, int], offsets, use_bias: bool,
-                 use_prelu: bool, alpha_channelwise: bool):
+                 use_prelu: bool, alpha_channelwise: bool,
+                 pads: Tuple[int, int, int, int] = (0, 0, 0, 0)):
     kp_h, kp_w = tap_hw
+    pt, pb, plft, prt = pads
 
     def kernel_fn(*refs):
         i = 0
-        xp_ref = refs[i]; i += 1         # (bt, h+ph, w+pw, cin)
+        xp_ref = refs[i]; i += 1         # (bt, h, w, cin) — padded in VMEM
         w_ref = refs[i]; i += 1          # (4, kp_h, kp_w, cin, cout_t)
         b_ref = None
         a_ref = None
@@ -86,7 +88,11 @@ def _make_kernel(h: int, w: int, cin: int, cout_t: int, bt: int,
             a_ref = refs[i]; i += 1      # (1, cout_t) or (1, 1)
         out_ref = refs[i]                # (bt, h, w, 4, cout_t)
 
-        x = xp_ref[:]
+        # halo pad in VMEM (cheap) instead of materializing a padded copy
+        # of the activation in HBM outside the kernel
+        x = jnp.pad(xp_ref[:], ((0, 0), (pt, pb + kp_h - 1),
+                                (plft, prt + kp_w - 1), (0, 0)))
+        accs = []
         for p in range(4):
             off_h, off_w = offsets[p]
             acc = jnp.zeros((bt * h * w, cout_t), jnp.float32)
@@ -104,14 +110,27 @@ def _make_kernel(h: int, w: int, cin: int, cout_t: int, bt: int,
             if use_prelu:
                 alpha = a_ref[0, :].astype(jnp.float32)
                 acc = jnp.where(acc >= 0, acc, alpha * acc)
-            out_ref[:, :, :, p, :] = acc.reshape(bt, h, w, cout_t).astype(
-                out_ref.dtype)
+            accs.append(acc.reshape(bt, h, w, cout_t).astype(out_ref.dtype))
+        # in-kernel depth-to-space: parity order is (d, e) row-major, so
+        # out[2y+d, 2x+e] = acc_de[y, x]. Interleaving only touches
+        # major/sublane dims (lanes stay cout_t), which Mosaic handles —
+        # and it saves the 16 MB HBM round-trip transpose XLA would emit.
+        row0 = jnp.stack([accs[0], accs[1]], axis=3)     # (bt,h,w,2,ct)
+        row1 = jnp.stack([accs[2], accs[3]], axis=3)
+        rows = jnp.stack([row0.reshape(bt, h, 2 * w, cout_t),
+                          row1.reshape(bt, h, 2 * w, cout_t)], axis=2)
+        out_ref[:] = rows.reshape(bt, 2 * h, 2 * w, cout_t)
 
     return kernel_fn
 
 
+# Mosaic's default scoped-VMEM ceiling is 16 MB; v5e has 128 MB. A higher
+# limit lets batch tiles grow, dividing the grid-step count.
+VMEM_LIMIT = 64 * 1024 * 1024
+
+
 def _auto_tiles(n, h, w, cin, cout, kp_h, kp_w, itemsize=4,
-                budget_bytes=12 * 1024 * 1024) -> Tuple[int, int]:
+                budget_bytes=40 * 1024 * 1024) -> Tuple[int, int]:
     """(batch_tile, cout_tile) fitting the VMEM budget. Pipeline blocks
     (input, weights, output) are double-buffered by Mosaic (x2)."""
     def divisor_leq(total, cap):
@@ -122,12 +141,13 @@ def _auto_tiles(n, h, w, cin, cout, kp_h, kp_w, itemsize=4,
 
     ct = divisor_leq(cout, 256)
     while ct > 128:
-        if 2 * 4 * kp_h * kp_w * cin * ct * 4 <= budget_bytes // 2:
+        if 2 * 4 * kp_h * kp_w * cin * ct * 4 <= budget_bytes // 4:
             break
         ct = divisor_leq(cout, ct - 1)
     weights = 2 * 4 * kp_h * kp_w * cin * ct * 4
     per_sample = (2 * (h + kp_h) * (w + kp_w) * cin
-                  + 2 * h * w * 4 * ct
+                  + 2 * h * w * 4 * ct      # interleaved out block (x2 dbuf)
+                  + 2 * h * w * 4 * ct      # 4 staged parity accs (bf16)
                   + 2 * h * w * ct
                   + h * w * cin) * 4
     avail = max(budget_bytes - weights, per_sample)
@@ -174,11 +194,6 @@ def upsample2_conv_fused(x: jax.Array, kernel: jax.Array,
     while cout % ct:
         ct -= 1
 
-    # pad so even the zero-weighted uniform taps read in-bounds
-    xp = jnp.pad(x, ((0, 0), (pt, pb + kp_h - 1), (plft, prt + kp_w - 1),
-                     (0, 0)))
-    hp, wp = xp.shape[1], xp.shape[2]
-
     use_bias = bias is not None
     use_prelu = prelu_alpha is not None
     alpha = None
@@ -189,15 +204,16 @@ def upsample2_conv_fused(x: jax.Array, kernel: jax.Array,
         alpha_channelwise = alpha.shape[0] == cout and cout > 1
 
     kernel_fn = _make_kernel(h, w, cin, ct, bt, (kp_h, kp_w), offsets,
-                             use_bias, use_prelu, alpha_channelwise)
+                             use_bias, use_prelu, alpha_channelwise,
+                             pads=(pt, pb, plft, prt))
 
     in_specs = [
-        pl.BlockSpec((bt, hp, wp, cin), lambda i, j: (i, 0, 0, 0),
+        pl.BlockSpec((bt, h, w, cin), lambda i, j: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((4, kp_h, kp_w, cin, ct),
                      lambda i, j: (0, 0, 0, 0, j), memory_space=pltpu.VMEM),
     ]
-    args = [xp, wstack]
+    args = [x, wstack]
     if use_bias:
         in_specs.append(pl.BlockSpec((1, ct), lambda i, j: (0, j),
                                      memory_space=pltpu.VMEM))
@@ -211,21 +227,19 @@ def upsample2_conv_fused(x: jax.Array, kernel: jax.Array,
                                          memory_space=pltpu.VMEM))
         args.append(alpha.reshape(1, -1))
 
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel_fn,
         grid=(n // bt, cout // ct),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((bt, h, w, 4, ct),
-                               lambda i, j: (i, 0, 0, 0, j),
+        out_specs=pl.BlockSpec((bt, 2 * h, 2 * w, ct),
+                               lambda i, j: (i, 0, 0, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, h, w, 4, cout), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, 2 * h, 2 * w, cout), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(*args)
-
-    # depth-to-space: (N,H,W,4,Cout) -> (N,2H,2W,Cout); parity order (d,e)
-    out = out.reshape(n, h, w, 2, 2, cout)
-    out = out.transpose(0, 1, 3, 2, 4, 5)
-    return out.reshape(n, 2 * h, 2 * w, cout)
 
 
 # ---------------------------------------------------------------------------

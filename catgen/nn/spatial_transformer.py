@@ -292,6 +292,51 @@ class FusedSTBranches(Module):
             jax.random.fold_in(key, 99), x_shape)
         return merge_variables(children)
 
+    def _joint_loc_features(self, variables, x):
+        """All branch localization nets in one pass (models.lua:842-855,
+        x n_tails): they share the input, so their first convs concatenate
+        into one conv, the second run as one grouped conv, and the pools/
+        activations execute once at n_tails x channels. Exactly equivalent
+        to applying each net separately — parameters stay per-branch and
+        gradients flow back through the concat/slice — but collapses
+        ~3x4 small-channel conv ops per phase into 4 (measured ~2 ms/step
+        on the D32_st3 train step, KERNELS.md §4)."""
+        nb = len(self.tails)
+        ps = [child_variables(variables, f"loc{i}")["params"]
+              for i in range(nb)]
+        slope = jnp.asarray(1.0 / 3.0, x.dtype)
+
+        def pool2(v):
+            s = jax.lax.reduce_window(v, 0.0, jax.lax.add, (1, 2, 2, 1),
+                                      (1, 2, 2, 1), "VALID")
+            return s * 0.25
+
+        def leaky(v):
+            return jnp.where(v >= 0, v, slope * v)
+
+        def conv(v, k, groups=1):
+            return jax.lax.conv_general_dilated(
+                v, k.astype(v.dtype), (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=groups)
+
+        hp = pool2(x)
+        k1 = jnp.concatenate([p["01_Conv"]["kernel"] for p in ps], axis=3)
+        b1 = jnp.concatenate([p["01_Conv"]["bias"] for p in ps])
+        hc = leaky(conv(hp, k1) + b1.astype(x.dtype))
+        k2 = jnp.concatenate([p["03_Conv"]["kernel"] for p in ps], axis=3)
+        b2 = jnp.concatenate([p["03_Conv"]["bias"] for p in ps])
+        hc = leaky(conv(hc, k2, groups=nb) + b2.astype(x.dtype))
+        hc = pool2(hc)                                   # (n, h/4, w/4, nb*c)
+        c_per = hc.shape[-1] // nb
+        feats = []
+        for i in range(nb):
+            fl = hc[..., i * c_per:(i + 1) * c_per].reshape(x.shape[0], -1)
+            d = ps[i]["07_Dense"]
+            feats.append(leaky(jnp.dot(fl, d["kernel"].astype(x.dtype))
+                               + d["bias"].astype(x.dtype)))
+        return feats
+
     def apply(self, variables, x, *, train=False, rng=None):
         from catgen.kernels import config as kconfig
 
@@ -299,18 +344,17 @@ class FusedSTBranches(Module):
         new_state = {}
         use_v4 = (kconfig.resolve_sampler_impl() == "mxu"
                   and kconfig.sampler_kernel == "v4")
+        loc_feats = self._joint_loc_features(variables, x)
         grids = []
         for i in range(len(self.tails)):
-            feats, st_l = self.locs[i].apply(
-                child_variables(variables, f"loc{i}"), x, train=train,
-                rng=None)
             params, st_h = self.heads[i].apply(
-                child_variables(variables, f"head{i}"), feats, train=train,
-                rng=None)
+                child_variables(variables, f"head{i}"), loc_feats[i],
+                train=train, rng=None)
             theta = affine_matrix(params.astype(jnp.float32), *self.flags)
             grids.append(affine_grid_rows(theta, h, w) if use_v4
                          else affine_grid(theta, h, w))
-            new_state[f"loc{i}"] = st_l
+            new_state[f"loc{i}"] = child_variables(
+                variables, f"loc{i}")["state"]
             new_state[f"head{i}"] = st_h
         if use_v4:
             from catgen.kernels.pallas_bilinear_v4 import \

@@ -131,3 +131,27 @@ def test_check_grads_bilinear_interior(rng):
                 order=1, modes=("rev",), atol=1e-2, rtol=1e-2)
     check_grads(lambda c: bilinear_sample(img, c), (coords,),
                 order=1, modes=("rev",), atol=1e-2, rtol=1e-2)
+
+
+def test_joint_loc_features_match_per_branch():
+    # FusedSTBranches runs its 3 localization nets jointly (one concat
+    # conv + one grouped conv); must equal applying each net separately
+    import numpy as np
+    from catgen.core.module import child_variables
+    from catgen.models.zoo import _st_branch_tail
+    from catgen.nn.layers import Conv, PReLU, MaxPool, SpatialDropout
+    from catgen.core.module import Sequential
+    from catgen.nn.spatial_transformer import FusedSTBranches
+
+    plain = Sequential([Conv(8, (3, 3)), PReLU()], name="plain")
+    blk = FusedSTBranches([_st_branch_tail(), _st_branch_tail(),
+                           _st_branch_tail()], plain)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(4, 16, 16, 64).astype(np.float32))
+    variables = blk.init(jax.random.PRNGKey(0), (4, 16, 16, 64))
+    got = blk._joint_loc_features(variables, x)
+    for i in range(3):
+        want, _ = blk.locs[i].apply(
+            child_variables(variables, f"loc{i}"), x, train=False, rng=None)
+        np.testing.assert_allclose(np.asarray(got[i]), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
