@@ -26,6 +26,11 @@ _SAMPLER_KERNELS = ("v1", "v2", "v3", "v4")
 upsample_impl = os.environ.get("CATGEN_UPSAMPLE_IMPL", "auto")
 sampler_impl = os.environ.get("CATGEN_SAMPLER_IMPL", "auto")
 sampler_kernel = os.environ.get("CATGEN_SAMPLER_KERNEL", "v4")
+# run Pallas kernels in interpret mode (CPU correctness tests of
+# hardware-only code paths, e.g. the fused decoder ladder)
+pallas_interpret = os.environ.get("CATGEN_PALLAS_INTERPRET", "0") == "1"
+# boundary-fused G decoder ladder (nn/fused.py) on the Pallas path
+fused_ladder = os.environ.get("CATGEN_FUSED_LADDER", "1") == "1"
 
 
 def _on_tpu() -> bool:

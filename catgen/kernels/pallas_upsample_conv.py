@@ -72,7 +72,8 @@ def _collapsed_weights_and_pads(kernel: jax.Array):
 def _make_kernel(h: int, w: int, cin: int, cout_t: int, bt: int,
                  tap_hw: Tuple[int, int], offsets, use_bias: bool,
                  use_prelu: bool, alpha_channelwise: bool,
-                 pads: Tuple[int, int, int, int] = (0, 0, 0, 0)):
+                 pads: Tuple[int, int, int, int] = (0, 0, 0, 0),
+                 in_transform: bool = False, with_stats: bool = False):
     kp_h, kp_w = tap_hw
     pt, pb, plft, prt = pads
 
@@ -82,17 +83,33 @@ def _make_kernel(h: int, w: int, cin: int, cout_t: int, bt: int,
         w_ref = refs[i]; i += 1          # (4, kp_h, kp_w, cin, cout_t)
         b_ref = None
         a_ref = None
+        t_scale = t_shift = t_alpha = None
         if use_bias:
             b_ref = refs[i]; i += 1      # (1, cout_t)
         if use_prelu:
             a_ref = refs[i]; i += 1      # (1, cout_t) or (1, 1)
-        out_ref = refs[i]                # (bt, h, w, 4, cout_t)
+        if in_transform:
+            t_scale = refs[i]; i += 1    # (1, cin)
+            t_shift = refs[i]; i += 1    # (1, cin)
+            t_alpha = refs[i]; i += 1    # (1, cin) or (1, 1)
+        out_ref = refs[i]; i += 1        # (bt, 2h, 2w, cout_t)
+        stats_ref = refs[i] if with_stats else None  # (1, 2, cout_t)
 
+        x = xp_ref[:]
+        if in_transform:
+            # previous stage's BN + PReLU applied to the VMEM block —
+            # BEFORE padding, so the conv's implicit zero padding keeps
+            # the unfused BN->PReLU->upsample->conv(zero-pad) semantics
+            xt = (x.astype(jnp.float32) * t_scale[0, :].astype(jnp.float32)
+                  + t_shift[0, :].astype(jnp.float32))
+            al = t_alpha[0, :].astype(jnp.float32)
+            x = jnp.where(xt >= 0, xt, al * xt).astype(x.dtype)
         # halo pad in VMEM (cheap) instead of materializing a padded copy
         # of the activation in HBM outside the kernel
-        x = jnp.pad(xp_ref[:], ((0, 0), (pt, pb + kp_h - 1),
-                                (plft, prt + kp_w - 1), (0, 0)))
+        x = jnp.pad(x, ((0, 0), (pt, pb + kp_h - 1),
+                        (plft, prt + kp_w - 1), (0, 0)))
         accs = []
+        s1 = s2 = None
         for p in range(4):
             off_h, off_w = offsets[p]
             acc = jnp.zeros((bt * h * w, cout_t), jnp.float32)
@@ -110,7 +127,15 @@ def _make_kernel(h: int, w: int, cin: int, cout_t: int, bt: int,
             if use_prelu:
                 alpha = a_ref[0, :].astype(jnp.float32)
                 acc = jnp.where(acc >= 0, acc, alpha * acc)
+            if with_stats:
+                ps1 = jnp.sum(acc, axis=0)               # (cout_t,)
+                ps2 = jnp.sum(acc * acc, axis=0)
+                s1 = ps1 if s1 is None else s1 + ps1
+                s2 = ps2 if s2 is None else s2 + ps2
             accs.append(acc.reshape(bt, h, w, cout_t).astype(out_ref.dtype))
+        if with_stats:
+            stats_ref[0, 0] = s1
+            stats_ref[0, 1] = s2
         # in-kernel depth-to-space: parity order is (d, e) row-major, so
         # out[2y+d, 2x+e] = acc_de[y, x]. Interleaving only touches
         # major/sublane dims (lanes stay cout_t), which Mosaic handles —
@@ -288,3 +313,136 @@ def _ucb_bwd(res, g):
 
 
 upsample2_conv_bias.defvjp(_ucb_fwd, _ucb_bwd)
+
+
+# ---------------------------------------------------------------------------
+# boundary-fused block: [prev-stage BN + PReLU] -> upsample2+conv(+bias)
+# with in-kernel batch statistics for THIS stage's BN (SURVEY.md §7 step 8:
+# "fuse nearest-upsample+conv(+BN+PReLU)")
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("with_stats", "interpret"))
+def upsample2_conv_block_fused(x, kernel, bias, in_scale, in_shift, in_alpha,
+                               with_stats: bool = True,
+                               interpret: bool = False):
+    """prelu(x*in_scale + in_shift, in_alpha) -> upsample2 -> conv -> +bias,
+    one Pallas pass; optionally also emits per-channel [sum(y), sum(y^2)]
+    over (N, 2H, 2W) as fp32 partials (one row per batch tile, reduced by
+    the caller) so the following BatchNorm needs no pass over y.
+
+    in_scale/in_shift: (Cin,); in_alpha: (Cin,) or (1,) PReLU slope of the
+    previous stage. Returns y (N,2H,2W,Cout)[, s1 (Cout,), s2 (Cout,)].
+    """
+    n, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    collapsed, (pt, pb, plft, prt), offsets = \
+        _collapsed_weights_and_pads(kernel)
+    kp_h = max(c.shape[0] for c in collapsed)
+    kp_w = max(c.shape[1] for c in collapsed)
+    wstack = jnp.zeros((4, kp_h, kp_w, cin, cout), kernel.dtype)
+    for p, ck in enumerate(collapsed):
+        wstack = wstack.at[p, :ck.shape[0], :ck.shape[1]].set(ck)
+
+    bt, ct = _auto_tiles(n, h, w, cin, cout, kp_h, kp_w,
+                         itemsize=x.dtype.itemsize)
+    bt = min(bt, n)
+    while n % bt:
+        bt -= 1
+    while cout % ct:
+        ct -= 1
+
+    kernel_fn = _make_kernel(h, w, cin, ct, bt, (kp_h, kp_w), offsets,
+                             use_bias=True, use_prelu=False,
+                             alpha_channelwise=False,
+                             pads=(pt, pb, plft, prt),
+                             in_transform=True, with_stats=with_stats)
+
+    # Mosaic can't broadcast a 1-element vector across both sublanes and
+    # lanes — widen a scalar alpha to full Cin so the in-kernel broadcast
+    # is lane-aligned like scale/shift.
+    alpha = jnp.broadcast_to(in_alpha.reshape(-1), (cin,)) \
+        if in_alpha.size == 1 else in_alpha
+    in_specs = [
+        pl.BlockSpec((bt, h, w, cin), lambda i, j: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, kp_h, kp_w, cin, ct),
+                     lambda i, j: (0, 0, 0, 0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ct), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cin), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cin), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, alpha.shape[0]), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [x, wstack, bias.reshape(1, cout), in_scale.reshape(1, cin),
+            in_shift.reshape(1, cin), alpha.reshape(1, -1)]
+    nb = n // bt
+    out_specs = [pl.BlockSpec((bt, 2 * h, 2 * w, ct),
+                              lambda i, j: (i, 0, 0, j),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((n, 2 * h, 2 * w, cout), x.dtype)]
+    if with_stats:
+        out_specs.append(pl.BlockSpec((1, 2, ct), lambda i, j: (i, 0, j),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((nb, 2, cout), jnp.float32))
+    outs = pl.pallas_call(
+        kernel_fn,
+        grid=(nb, cout // ct),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs) if with_stats else out_specs[0],
+        out_shape=tuple(out_shape) if with_stats else out_shape[0],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(*args)
+    if not with_stats:
+        return outs
+    y, partials = outs
+    s = jnp.sum(partials, axis=0)                        # (2, cout) f32
+    return y, s[0], s[1]
+
+
+def _block_ref(x, in_scale, in_shift, in_alpha, kernel, bias):
+    """XLA reference semantics of the fused block (backward path + tests):
+    BN-affine -> PReLU -> upsample2 -> conv -> +bias."""
+    xt = (x.astype(jnp.float32) * in_scale.astype(jnp.float32)
+          + in_shift.astype(jnp.float32))
+    al = in_alpha.astype(jnp.float32)
+    xn = jnp.where(xt >= 0, xt, al * xt).astype(x.dtype)
+    return upsample2_conv(xn, kernel) + bias.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def upsample2_conv_block(x, in_scale, in_shift, in_alpha, kernel, bias,
+                         interpret: bool = False):
+    """Differentiable boundary-fused block (Pallas forward + stats;
+    backward through the mathematically identical XLA collapsed path —
+    the saved forward output feeds the stats cotangent chain, so no
+    convolution is recomputed)."""
+    return upsample2_conv_block_fused(x, kernel, bias, in_scale, in_shift,
+                                      in_alpha, with_stats=True,
+                                      interpret=interpret)
+
+
+def _ucblock_fwd(x, in_scale, in_shift, in_alpha, kernel, bias, interpret):
+    y, s1, s2 = upsample2_conv_block_fused(
+        x, kernel, bias, in_scale, in_shift, in_alpha, with_stats=True,
+        interpret=interpret)
+    return (y, s1, s2), (x, in_scale, in_shift, in_alpha, kernel, bias, y)
+
+
+def _ucblock_bwd(interpret, res, cots):
+    x, in_scale, in_shift, in_alpha, kernel, bias, y = res
+    gy, gs1, gs2 = cots
+    # d(sum y)/dy = 1, d(sum y^2)/dy = 2y — fold the stats cotangents into
+    # the output cotangent (fp32 so the tiny per-element stat terms are
+    # not lost before the elementwise sum)
+    g_tot = (gy.astype(jnp.float32) + gs1.astype(jnp.float32)
+             + 2.0 * y.astype(jnp.float32) * gs2.astype(jnp.float32))
+    _, vjp = jax.vjp(_block_ref, x, in_scale, in_shift, in_alpha,
+                     kernel, bias)
+    return vjp(g_tot.astype(y.dtype))
+
+
+upsample2_conv_block.defvjp(_ucblock_fwd, _ucblock_bwd)

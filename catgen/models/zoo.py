@@ -26,6 +26,7 @@ from typing import Optional, Tuple
 
 from catgen.core.module import ConcatBranches, Module, Sequential
 from catgen.kernels.upsample_conv import UpsampleConv
+from catgen.nn.fused import FusedDecoderSequential
 from catgen.nn.layers import (AvgPool, BatchNorm, Conv, Dense, Dropout,
                               Flatten, LeakyReLU, MaxPool, PReLU, Reshape,
                               Sigmoid, Softmax, SpatialDropout)
@@ -60,7 +61,7 @@ def create_G_decoder_upsampling16(image: ImageShape, noise_dim: int,
     """4x4 seed -> 2 fused upsample-conv stages -> 16x16 (models.lua:108-132)."""
     h, w, c = image
     assert (h, w) == (16, 16)
-    return Sequential([
+    return FusedDecoderSequential([
         Dense(128 * 4 * 4), Reshape((4, 4, 128)), PReLU(),
         UpsampleConv(256, (5, 5)), _bn(axis_name), PReLU(),
         UpsampleConv(128, (5, 5)), _bn(axis_name), PReLU(),
@@ -74,7 +75,7 @@ def create_G_decoder_upsampling32(image: ImageShape, noise_dim: int,
     (models.lua:138-160)."""
     h, w, c = image
     assert (h, w) == (32, 32)
-    return Sequential([
+    return FusedDecoderSequential([
         Dense(128 * 8 * 8), Reshape((8, 8, 128)), PReLU(),
         UpsampleConv(256, (5, 5)), _bn(axis_name), PReLU(),
         UpsampleConv(128, (5, 5)), _bn(axis_name), PReLU(),
@@ -87,7 +88,7 @@ def create_G_decoder_upsampling32b(image: ImageShape, noise_dim: int,
     """'G32up-b': 4x4x512 seed, 3 upsample stages (models.lua:162-194)."""
     h, w, c = image
     assert (h, w) == (32, 32)
-    return Sequential([
+    return FusedDecoderSequential([
         Dense(512 * 4 * 4), _bn(axis_name), PReLU(), Reshape((4, 4, 512)),
         UpsampleConv(512, (3, 3)), _bn(axis_name), PReLU(),
         UpsampleConv(256, (3, 3)), _bn(axis_name), PReLU(),
@@ -103,7 +104,7 @@ def create_G_decoder_upsampling32c(image: ImageShape, noise_dim: int,
     3x3 output conv."""
     h, w, c = image
     assert (h, w) == (32, 32)
-    return Sequential([
+    return FusedDecoderSequential([
         Dense(512 * 4 * 4), PReLU(), Reshape((4, 4, 512)),
         UpsampleConv(512, (3, 3)), _bn(axis_name), PReLU(),
         UpsampleConv(256, (3, 3)), _bn(axis_name), PReLU(),

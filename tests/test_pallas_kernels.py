@@ -171,3 +171,18 @@ def test_v4_sampler_vjp_matches_xla(rng, shape):
         np.testing.assert_allclose(np.asarray(a) / scale,
                                    np.asarray(b) / scale,
                                    rtol=2e-2, atol=6e-3)
+
+
+def test_sampler_kernel_selection(monkeypatch):
+    # CATGEN_SAMPLER_KERNEL picks the Pallas generation; all four resolve
+    from catgen.kernels import config as kconfig
+    orig = kconfig.sampler_kernel
+    try:
+        for name in ("v1", "v2", "v3", "v4"):
+            kconfig.set_sampler_kernel(name)
+            assert callable(kconfig.get_mxu_sampler())
+        import pytest
+        with pytest.raises(AssertionError):
+            kconfig.set_sampler_kernel("v99")
+    finally:
+        kconfig.set_sampler_kernel(orig)
