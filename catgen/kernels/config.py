@@ -31,6 +31,13 @@ sampler_kernel = os.environ.get("CATGEN_SAMPLER_KERNEL", "v4")
 pallas_interpret = os.environ.get("CATGEN_PALLAS_INTERPRET", "0") == "1"
 # boundary-fused G decoder ladder (nn/fused.py) on the Pallas path
 fused_ladder = os.environ.get("CATGEN_FUSED_LADDER", "1") == "1"
+# backward of the fused ladder block. Measured at bs=512 (device step
+# time): "xla_vjp" autodiff through the collapsed formulation 37.8 ms,
+# "xla" hand-written parity-conv backward 38.2 ms, "pallas" single-pass
+# kernel 83.9 ms (its transpose-contraction dots don't map onto the MXU).
+# The parity dX/dW convs run at ~190 TF/s under XLA — the joint VJP is
+# already at roofline, so it stays the default.
+ladder_bwd = os.environ.get("CATGEN_LADDER_BWD", "xla_vjp")
 
 
 def _on_tpu() -> bool:

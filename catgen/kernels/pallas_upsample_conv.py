@@ -30,6 +30,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -432,14 +433,135 @@ def _ucblock_fwd(x, in_scale, in_shift, in_alpha, kernel, bias, interpret):
     return (y, s1, s2), (x, in_scale, in_shift, in_alpha, kernel, bias, y)
 
 
+def _block_bwd_surgical(x, in_scale, in_shift, in_alpha, kernel, bias,
+                        g_tot):
+    """Hand-written XLA backward of the fused block. vs jax.vjp of
+    ``_block_ref`` this kills the per-parity kernel transposes (~2.7 ms/
+    step measured: XLA first builds CK then relayouts it {1,0,3,2}) by
+    einsum-building the *flipped, io-swapped* collapsed kernels directly
+    from the tiny kxk weights and feeding them to the parity convs with
+    HWOI dimension numbers, and replaces the parity-plane transpose with
+    reshape+slice extraction."""
+    f32 = jnp.float32
+    n, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    k_h, k_w = kernel.shape[0], kernel.shape[1]
+    collapsed, (pt, pb, plft, prt), offsets = \
+        _collapsed_weights_and_pads(kernel)
+    kp_h = max(c.shape[0] for c in collapsed)
+    kp_w = max(c.shape[1] for c in collapsed)
+
+    # recompute the transformed input (elementwise; cheaper than saving it)
+    sc = in_scale.astype(f32)
+    al32 = in_alpha.astype(f32)
+    xt = x.astype(f32) * sc + in_shift.astype(f32)
+    mask = xt >= 0
+    xn = jnp.where(mask, xt, al32 * xt).astype(x.dtype)
+
+    g = g_tot.astype(x.dtype)
+    # parity planes by reshape+slice (no 6-D transpose copy)
+    g5 = g.reshape(n, h, 2, 2 * w, cout)
+    planes = []
+    for d in (0, 1):
+        row = lax.slice(g5, (0, 0, d, 0, 0), (n, h, d + 1, 2 * w, cout))
+        row = row.reshape(n, h, w, 2, cout)
+        for e in (0, 1):
+            planes.append(lax.slice(
+                row, (0, 0, 0, e, 0), (n, h, w, e + 1, cout)
+            ).reshape(n, h, w, cout))
+
+    # dX: four parity correlations; flipped io-swapped collapsed kernels
+    # built straight from the kxk weights (einsum output IS the conv
+    # operand — no transposes)
+    dxn32 = None
+    for p, (oh, ow) in enumerate(offsets):
+        d, e = divmod(p, 2)
+        mh, _ = _collapse_matrix(k_h, d)
+        mw, _ = _collapse_matrix(k_w, e)
+        kp_p_h, kp_p_w = mh.shape[0], mw.shape[0]
+        ckt = jnp.einsum("ua,vb,abio->uvoi", mh[::-1], mw[::-1], kernel,
+                         preferred_element_type=f32).astype(kernel.dtype)
+        # gpad index math proven in fused_block_backward (tested): for the
+        # parity's own tap count kp_p, pads are (kp_p-1-pt+oh, pt-oh)
+        contrib = lax.conv_general_dilated(
+            planes[p], ckt,
+            window_strides=(1, 1),
+            padding=[(kp_p_h - 1 - pt + oh, pt - oh),
+                     (kp_p_w - 1 - plft + ow, plft - ow)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        dxn32 = contrib.astype(f32) if dxn32 is None \
+            else dxn32 + contrib.astype(f32)
+
+    # input-transform backward (elementwise + per-channel reductions)
+    dxt = dxn32 * jnp.where(mask, 1.0, al32)
+    dx = (dxt * sc).astype(x.dtype)
+    dscale = jnp.sum(dxt * x.astype(f32), axis=(0, 1, 2))
+    dshift = jnp.sum(dxt, axis=(0, 1, 2))
+    dalpha = jnp.sum(dxn32 * jnp.where(mask, 0.0, xt), axis=(0, 1, 2))
+    if in_alpha.size == 1:
+        dalpha = jnp.sum(dalpha, keepdims=True)
+    else:
+        dalpha = dalpha.astype(in_alpha.dtype)
+
+    # dW: per-parity native conv_grad_rhs against the SAME parity planes,
+    # then dck -> dkernel through a flattened 0/1-matrix dot (kp^2 -> k^2)
+    # — no einsum-VJP transpose chain (measured 2 ms of {1,0,3,2}
+    # relayouts when autodiff differentiates through collapse_weights)
+    import numpy as np
+    dkernel_flat = None
+    for p, ck in enumerate(collapsed):
+        d, e = divmod(p, 2)
+        mh, _ = _collapse_matrix(k_h, d)
+        mw, _ = _collapse_matrix(k_w, e)
+        kp_p_h, kp_p_w = mh.shape[0], mw.shape[0]
+        oh, ow = offsets[p]
+        # forward parity conv on the *unpadded* xn with explicit pads
+        # equal to the kernel's xpad slice window
+        pad_h = (pt - oh, oh + kp_p_h - 1 - pt)
+        pad_w = (plft - ow, ow + kp_p_w - 1 - plft)
+        _, vjp_ck = jax.vjp(
+            lambda ck_, ph=pad_h, pw=pad_w: lax.conv_general_dilated(
+                xn, ck_, window_strides=(1, 1), padding=[ph, pw],
+                dimension_numbers=("NHWC", "HWIO", "NHWC")), ck)
+        dck, = vjp_ck(planes[p])
+        m2 = jnp.asarray(np.einsum("ua,vb->uvab", np.asarray(mh),
+                                   np.asarray(mw)).reshape(
+                                       kp_p_h * kp_p_w, k_h * k_w))
+        contrib = jax.lax.dot_general(
+            m2, dck.astype(f32).reshape(kp_p_h * kp_p_w, cin * cout),
+            dimension_numbers=(((0,), (0,)), ((), ())))   # (k^2, cin*cout)
+        dkernel_flat = contrib if dkernel_flat is None \
+            else dkernel_flat + contrib
+    dkernel = dkernel_flat.reshape(k_h, k_w, cin, cout).astype(kernel.dtype)
+    dbias = jnp.sum(g_tot, axis=(0, 1, 2)).astype(bias.dtype)
+
+    return (dx, dscale.astype(in_scale.dtype), dshift.astype(in_shift.dtype),
+            dalpha.astype(in_alpha.dtype), dkernel, dbias)
+
+
 def _ucblock_bwd(interpret, res, cots):
     x, in_scale, in_shift, in_alpha, kernel, bias, y = res
     gy, gs1, gs2 = cots
+    from catgen.kernels import config as kconfig
+    if kconfig.ladder_bwd == "pallas":
+        from catgen.kernels.pallas_upsample_conv_bwd import \
+            fused_block_backward
+        dx, dsc, dsh, dal, dk, db = fused_block_backward(
+            x, in_scale, in_shift, in_alpha, kernel, y, gy, gs1, gs2,
+            interpret=interpret)
+        if in_alpha.size == 1:   # shared-slope PReLU: reduce over channels
+            dal = jnp.sum(dal, keepdims=True)
+        return (dx, dsc, dsh, dal.astype(in_alpha.dtype), dk,
+                db.astype(bias.dtype))
     # d(sum y)/dy = 1, d(sum y^2)/dy = 2y — fold the stats cotangents into
     # the output cotangent (fp32 so the tiny per-element stat terms are
     # not lost before the elementwise sum)
     g_tot = (gy.astype(jnp.float32) + gs1.astype(jnp.float32)
              + 2.0 * y.astype(jnp.float32) * gs2.astype(jnp.float32))
+    if kconfig.ladder_bwd == "xla":
+        return _block_bwd_surgical(x, in_scale, in_shift, in_alpha,
+                                   kernel, bias, g_tot)
+    # "xla_vjp": autodiff through the reference formulation
     _, vjp = jax.vjp(_block_ref, x, in_scale, in_shift, in_alpha,
                      kernel, bias)
     return vjp(g_tot.astype(y.dtype))

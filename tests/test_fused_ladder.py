@@ -88,3 +88,47 @@ def test_fused_ladder_grads_match_plain(rng):
         np.testing.assert_allclose(np.asarray(a) / scale,
                                    np.asarray(b) / scale,
                                    rtol=3e-2, atol=3e-2)
+
+
+@pytest.mark.parametrize("ks,cin,cout,alpha_n", [(3, 16, 24, 1),
+                                                 (5, 8, 16, 8)])
+def test_fused_block_pallas_bwd_matches_xla(rng, ks, cin, cout, alpha_n):
+    """The single-pass Pallas backward (fused_block_backward) returns the
+    same six cotangents as the XLA collapsed-conv VJP."""
+    from catgen.kernels.pallas_upsample_conv import upsample2_conv_block
+    n, h, w = 4, 6, 6
+    x = jnp.asarray(rng.randn(n, h, w, cin).astype(np.float32))
+    kern = jnp.asarray(rng.randn(ks, ks, cin, cout).astype(np.float32) * .2)
+    bias = jnp.asarray(rng.randn(cout).astype(np.float32) * .1)
+    scale = jnp.asarray(rng.rand(cin).astype(np.float32) + .5)
+    shift = jnp.asarray(rng.randn(cin).astype(np.float32) * .3)
+    alpha = jnp.asarray(rng.rand(alpha_n).astype(np.float32) * .5)
+    gy = jnp.asarray(rng.randn(n, 2 * h, 2 * w, cout).astype(np.float32))
+    gs1 = jnp.asarray(rng.randn(cout).astype(np.float32) * .01)
+    gs2 = jnp.asarray(rng.randn(cout).astype(np.float32) * .01)
+
+    def run():
+        def loss(x, scale, shift, alpha, kern, bias):
+            y, s1, s2 = upsample2_conv_block(x, scale, shift, alpha, kern,
+                                             bias, True)
+            return (jnp.sum(y * gy) + jnp.sum(s1 * gs1) + jnp.sum(s2 * gs2))
+        return jax.grad(loss, argnums=(0, 1, 2, 3, 4, 5))(
+            x, scale, shift, alpha, kern, bias)
+
+    orig = kconfig.ladder_bwd
+    try:
+        kconfig.ladder_bwd = "xla_vjp"     # autodiff ground truth
+        g_ref = run()
+        results = {}
+        for backend in ("pallas", "xla"):
+            kconfig.ladder_bwd = backend
+            results[backend] = run()
+    finally:
+        kconfig.ladder_bwd = orig
+    names = ["dx", "dscale", "dshift", "dalpha", "dkernel", "dbias"]
+    for backend, grads in results.items():
+        for nm, a, b in zip(names, grads, g_ref):
+            s = max(float(jnp.max(jnp.abs(b))), 1e-3)
+            np.testing.assert_allclose(np.asarray(a) / s, np.asarray(b) / s,
+                                       rtol=2e-5, atol=2e-5,
+                                       err_msg=f"{backend}:{nm}")
