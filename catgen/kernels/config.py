@@ -50,11 +50,15 @@ def _on_tpu() -> bool:
 
 
 def resolve_upsample_impl() -> str:
-    """'auto' -> Pallas single-pass kernel on TPU (measured fastest
-    end-to-end, tools/perf_probe.py), XLA collapsed elsewhere."""
+    """'auto' -> XLA collapsed parity convs everywhere. Re-measured in
+    round 2 (device traces, bs=512): in-step the XLA convs run at
+    135-190 TF/s vs the Pallas single-pass kernel's 96-150, and the full
+    step is 35.2 ms collapsed vs 37.8 Pallas-ladder / 38.0 Pallas-
+    per-layer. The round-1 'pallas fastest' finding predates the v4
+    sampler + layout fixes that removed the step's other bottlenecks."""
     if upsample_impl != "auto":
         return upsample_impl
-    return "pallas" if _on_tpu() else "collapsed"
+    return "collapsed"
 
 
 def resolve_sampler_impl() -> str:
