@@ -38,6 +38,21 @@ fused_ladder = os.environ.get("CATGEN_FUSED_LADDER", "1") == "1"
 # The parity dX/dW convs run at ~190 TF/s under XLA — the joint VJP is
 # already at roofline, so it stays the default.
 ladder_bwd = os.environ.get("CATGEN_LADDER_BWD", "xla_vjp")
+# tiny-cin convolutions (the D models' first conv on the C=3 image):
+# "banded" = row-tap matmuls on the channel-merged image (no batch-minor
+# relayout, kernels/smallcin_conv.py), "xla" = plain conv. Measured at
+# bs=512: banded 41.7 ms device step vs 35.2 xla — the K=102 band dots
+# run at ~17 TF/s (MXU contraction starved), costing more than the
+# relayout copies they remove. Default stays xla; the banded path is
+# kept as a tested alternative for hardware where gathers/relayouts are
+# pricier relative to MXU issue rate.
+smallcin_impl = os.environ.get("CATGEN_SMALLCIN_IMPL", "auto")
+
+
+def resolve_smallcin_impl() -> str:
+    if smallcin_impl != "auto":
+        return smallcin_impl
+    return "xla"
 
 
 def _on_tpu() -> bool:

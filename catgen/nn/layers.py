@@ -100,6 +100,18 @@ class Conv(Module):
     def apply(self, variables, x, *, train=False, rng=None):
         p = variables["params"]
         ph, pw = self.padding
+        kh, kw = self.kernel_size
+        cin = x.shape[-1]
+        if (cin <= 4 and self.strides == (1, 1)
+                and (ph, pw) == ((kh - 1) // 2, (kw - 1) // 2)):
+            from catgen.kernels import config as kconfig
+            if kconfig.resolve_smallcin_impl() == "banded":
+                from catgen.kernels.smallcin_conv import conv_small_cin
+                bias = (p["bias"] if self.use_bias
+                        else jnp.zeros((self.features,), p["kernel"].dtype))
+                y = conv_small_cin(x, p["kernel"].astype(x.dtype),
+                                   bias.astype(x.dtype))
+                return y, variables["state"]
         # no preferred_element_type: TPU convs accumulate fp32 internally
         # for bf16 operands, and a f32-preferred output breaks the
         # transpose-rhs (kernel-gradient) rule under mixed precision
