@@ -268,8 +268,13 @@ def _dense_bwd_kernel(h: int, w: int, c: int, bt: int, pt: int):
 
 # sampling formulation dispatch: the dense one-hot matrix M is (P, H*W) —
 # for small feature maps one full-K matmul beats two K=H underfilled
-# separable contractions plus lane expansions (measured, KERNELS.md §2)
+# separable contractions plus lane expansions (measured, KERNELS.md §2).
+# The backward has its own threshold: its mask work is 4x the forward's
+# (value + derivative masks), so the dense path's O(P*HW) VPU cost bites
+# sooner there.
 _DENSE_MAX_HW = 256
+import os
+_DENSE_MAX_HW_BWD = int(os.environ.get("CATGEN_V4_DENSE_BWD_HW", "256"))
 
 
 # Per-kernel scoped-VMEM ceiling. The Mosaic default is 16 MB but v5e has
@@ -398,7 +403,7 @@ def _bwd(out_hw, interpret, res, g):
     n, h, w, c = img.shape
     ho, wo = out_hw
     p = ho * wo
-    if h * w <= _DENSE_MAX_HW:
+    if h * w <= _DENSE_MAX_HW_BWD:
         bt, pt = _dense_tiles(n, p, h, w, c, bwd=True)
         dimg_f, dcrd = pl.pallas_call(
             _dense_bwd_kernel(h, w, c, bt, pt),

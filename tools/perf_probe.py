@@ -207,8 +207,8 @@ def probe_gstages(bs, dtype, k):
     for (h, w, cin, cout, ks) in stages:
         x0 = jnp.asarray(r.rand(bs, h, w, cin).astype(np.float32)).astype(dtype)
         kern = jnp.asarray(
-            r.randn(ks, ks, cin, cout).astype(np.float32) * 0.05)
-        bias = jnp.zeros((cout,), jnp.float32)
+            r.randn(ks, ks, cin, cout).astype(np.float32) * 0.05).astype(dtype)
+        bias = jnp.zeros((cout,), dtype)
         macs = bs * (2 * h) * (2 * w) * cout * cin * ((ks + 1) // 2) ** 2
 
         @jax.jit
