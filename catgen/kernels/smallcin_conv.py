@@ -38,7 +38,7 @@ from jax import lax
 
 
 @functools.lru_cache(maxsize=16)
-def _band_map(w: int, kw: int, cin: int, cout: int) -> np.ndarray:
+def _band_map(w: int, kw: int, cin: int) -> np.ndarray:
     """One-hot B[l, j, v, c] = 1 iff l == (j+v)*cin + c, for building
     Wband = einsum('ljvc,vco->ljo', B, K[u]) and its transpose chain."""
     L = (w + kw - 1) * cin
@@ -52,7 +52,7 @@ def _band_map(w: int, kw: int, cin: int, cout: int) -> np.ndarray:
 
 def _bands(kernel: jax.Array, w: int):
     kh, kw, cin, cout = kernel.shape
-    b = jnp.asarray(_band_map(w, kw, cin, cout))
+    b = jnp.asarray(_band_map(w, kw, cin))
     # (kh, L, w*cout)
     return jnp.einsum("ljvc,uvco->uljo", b, kernel).reshape(
         kh, (w + kw - 1) * cin, w * cout)
@@ -106,7 +106,7 @@ def _sc_bwd(res, gy):
     # dK: big-K dots xp^T gy, then band extraction back to (kh,kw,cin,cout)
     xm = x.reshape(n, h, w * cin)
     xp = jnp.pad(xm, ((0, 0), (ph, ph), (pw * cin, pw * cin)))
-    b = jnp.asarray(_band_map(w, kw, cin, cout))        # (L, w, kw, cin)
+    b = jnp.asarray(_band_map(w, kw, cin))              # (L, w, kw, cin)
     dk = None
     for u in range(kh):
         rows = lax.slice(xp, (0, u, 0), (n, u + h, L))
