@@ -55,6 +55,10 @@ def parse_args(argv=None):
     p.add_argument("--augment", action="store_true",
                    help="on-device train-time augmentation of real batches "
                         "(offline ×9 corpus semantics applied live)")
+    p.add_argument("--profile", default="",
+                   help="capture a jax.profiler device trace of the first "
+                        "trained epoch into this directory (view with "
+                        "TensorBoard/Perfetto; SURVEY.md §5.1)")
     return p.parse_args(argv)
 
 
@@ -84,6 +88,17 @@ def main(argv=None):
     harness = GanHarness(hc, gc, dataset)
     if args.network:
         harness.resume(args.network, rebuild_optstate=args.rebuildOptstate)
+    if args.profile:
+        import jax
+        harness.run_epoch()              # compile outside the trace window
+        with jax.profiler.trace(args.profile):
+            harness.run_epoch()
+        print(f"[profile] trace written to {args.profile}")
+        remaining = None if args.epochs is None else max(args.epochs - 2, 0)
+        if remaining == 0:
+            return
+        harness.train(remaining)
+        return
     harness.train(args.epochs)
 
 
