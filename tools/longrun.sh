@@ -8,9 +8,9 @@ DIR=${1:-runs/longrun}
 EPOCHS=${2:-400}
 cd "$(dirname "$0")/.."
 mkdir -p "$DIR"
-python -m catgen.cli.train_v    --fixture 256 --epochs 30 --save "$DIR" || exit 1
-python -m catgen.cli.pretrain_g --fixture 256 --epochs 10 --save "$DIR" || exit 1
-python -m catgen.cli.train      --fixture 256 --epochs "$EPOCHS" --saveFreq 30 \
-    --augment --save "$DIR" || exit 1
+python -m catgen.cli.train_v    --fixture "${FIXTURE:-256}" --epochs 30 --save "$DIR" || exit 1
+python -m catgen.cli.pretrain_g --fixture "${FIXTURE:-256}" --epochs 10 --save "$DIR" || exit 1
+python -m catgen.cli.train      --fixture "${FIXTURE:-256}" --epochs "$EPOCHS" --saveFreq 30 \
+    --visFreq "${VISFREQ:-10}" --augment --save "$DIR" || exit 1
 python -m catgen.cli.eval_quality --save "$DIR" || exit 1
 echo LONGRUN_DONE
