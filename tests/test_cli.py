@@ -51,12 +51,15 @@ def test_cli_train_and_resume(workdir):
     assert any(l["event"] == "pretrained_g_loaded" for l in lines)
     # grids written
     assert os.listdir(os.path.join(logs, "images"))
-    # resume continues from saved epoch
+    # resume continues from saved epoch; --profile captures a device trace
+    trace_dir = os.path.join(workdir, "trace")
     train.main(COMMON + ["--epochs", "1", "--save", logs, "--saveFreq", "1",
-                         "--G", "g16up", "--D", "d16b", "--network", path])
+                         "--G", "g16up", "--D", "d16b", "--network", path,
+                         "--profile", trace_dir])
     lines2 = [json.loads(l) for l in
               open(os.path.join(logs, "train_metrics.jsonl"))]
     assert any(l["event"] == "resumed" for l in lines2)
+    assert os.path.isdir(trace_dir) and os.listdir(trace_dir)
 
 
 def test_cli_sample(workdir, capsys):
