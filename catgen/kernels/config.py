@@ -47,6 +47,9 @@ ladder_bwd = os.environ.get("CATGEN_LADDER_BWD", "xla_vjp")
 # kept as a tested alternative for hardware where gathers/relayouts are
 # pricier relative to MXU issue rate.
 smallcin_impl = os.environ.get("CATGEN_SMALLCIN_IMPL", "auto")
+# FusedSTBranches localization nets: jointly (one concat conv + one
+# grouped conv, ~2 ms/step faster) or per-branch (reference formulation)
+joint_loc = os.environ.get("CATGEN_JOINT_LOC", "1") == "1"
 
 
 def resolve_smallcin_impl() -> str:

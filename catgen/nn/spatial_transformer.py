@@ -344,7 +344,15 @@ class FusedSTBranches(Module):
         new_state = {}
         use_v4 = (kconfig.resolve_sampler_impl() == "mxu"
                   and kconfig.sampler_kernel == "v4")
-        loc_feats = self._joint_loc_features(variables, x)
+        if kconfig.joint_loc:
+            loc_feats = self._joint_loc_features(variables, x)
+        else:     # per-branch reference path (A/B + debugging)
+            loc_feats = []
+            for i in range(len(self.tails)):
+                f, _ = self.locs[i].apply(
+                    child_variables(variables, f"loc{i}"), x,
+                    train=train, rng=None)
+                loc_feats.append(f)
         grids = []
         for i in range(len(self.tails)):
             params, st_h = self.heads[i].apply(
