@@ -74,4 +74,5 @@ def build_dataset(args) -> ImageDataset:
                 multihost_utils.sync_global_devices("fixture_written")
         dirs = [fixture_dir]
     return ImageDataset(dirs, scale=args.scale, colorspace=args.colorSpace,
-                        seed=args.seed, shard_by_process=multiproc)
+                        seed=args.seed, shard_by_process=multiproc,
+                        normalize=getattr(args, "normalize", False))

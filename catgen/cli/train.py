@@ -52,12 +52,21 @@ def parse_args(argv=None):
     p.add_argument("--visFreq", type=int, default=1,
                    help="write sample grids/probes every N epochs "
                         "(--noplot spirit, train.lua:24)")
+    p.add_argument("--collapseDetect", action="store_true",
+                   help="stop the run when the GAN-collapse detector fires "
+                        "(catgen/eval/collapse.py); exits with code 42 so "
+                        "sweep tooling can relaunch with the next seed")
+    p.add_argument("--normalize", action="store_true",
+                   help="remap inputs [0,1] -> [-1,1]; persists "
+                        "normalize_mean/std in the checkpoint "
+                        "(train.lua:51,209-227,260 NORMALIZE path)")
     p.add_argument("--augment", action="store_true",
                    help="on-device train-time augmentation of real batches "
                         "(offline ×9 corpus semantics applied live)")
     p.add_argument("--profile", default="",
-                   help="capture a jax.profiler device trace of the first "
-                        "trained epoch into this directory (view with "
+                   help="capture a jax.profiler device trace of the second "
+                        "trained epoch into this directory (the first epoch "
+                        "compiles; needs --epochs >= 2; view with "
                         "TensorBoard/Perfetto; SURVEY.md §5.1)")
     return p.parse_args(argv)
 
@@ -72,7 +81,9 @@ def main(argv=None):
                        seed=args.seed, n_devices=args.devices,
                        g_model=args.G, d_model=args.D, epochs=args.epochs,
                        weights_vis_freq=args.weightsVisFreq,
-                       vis_freq=max(args.visFreq, 1))
+                       vis_freq=max(args.visFreq, 1),
+                       normalize=args.normalize,
+                       collapse_detect=args.collapseDetect)
     gc = gan.GanConfig(
         batch_size=args.batchSize,
         d_optimizer=args.D_optmethod, g_optimizer=args.G_optmethod,
@@ -88,18 +99,10 @@ def main(argv=None):
     harness = GanHarness(hc, gc, dataset)
     if args.network:
         harness.resume(args.network, rebuild_optstate=args.rebuildOptstate)
-    if args.profile:
-        import jax
-        harness.run_epoch()              # compile outside the trace window
-        with jax.profiler.trace(args.profile):
-            harness.run_epoch()
-        print(f"[profile] trace written to {args.profile}")
-        remaining = None if args.epochs is None else max(args.epochs - 2, 0)
-        if remaining == 0:
-            return
-        harness.train(remaining)
-        return
-    harness.train(args.epochs)
+    status = harness.train(args.epochs, profile_dir=args.profile or None)
+    if status == "collapsed":
+        import sys
+        sys.exit(42)
 
 
 if __name__ == "__main__":

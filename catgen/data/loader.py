@@ -68,7 +68,8 @@ class ImageDataset:
                  scale: int = 32, colorspace: str = "rgb",
                  source_size: int = 64, seed: int = 1,
                  decoder: Optional[str] = None,
-                 shard_by_process: bool = False):
+                 shard_by_process: bool = False,
+                 normalize: bool = False):
         self.paths = scan_paths(dirs, ext)
         if shard_by_process:
             # multi-host DP: each process decodes + caches only its slice
@@ -82,6 +83,10 @@ class ImageDataset:
         self.scale = scale
         self.colorspace = colorspace
         self.source_size = source_size
+        # --normalize: remap [0,1] -> [-1,1] after colorspace conversion
+        # (train.lua:51,209-227 NORMALIZE path; the active nn_utils.normalize
+        # branch, nn_utils.lua:396-408)
+        self.normalize = normalize
         self._rng = np.random.RandomState(seed)
         self._cache: Optional[np.ndarray] = None
         self._decoder = decoder
@@ -140,7 +145,10 @@ class ImageDataset:
                 x = ops.downscale2(x)
             else:
                 x = ops.resize_bilinear(x, (self.scale, self.scale))
-        return colorlib.rgb_to_colorspace(x, self.colorspace)
+        x = colorlib.rgb_to_colorspace(x, self.colorspace)
+        if self.normalize:
+            x = colorlib.normalize(x)
+        return x
 
     def load_random_images(self, count: int) -> jax.Array:
         return self.postprocess(self.sample_uint8(count))

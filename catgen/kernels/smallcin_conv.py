@@ -76,7 +76,15 @@ def _fwd_impl(x, kernel, bias):
 
 @jax.custom_vjp
 def conv_small_cin(x, kernel, bias):
-    """'same' stride-1 NHWC conv via banded matmuls (small cin path)."""
+    """'same' stride-1 NHWC conv via banded matmuls (small cin path).
+
+    Odd kernel sizes only: the symmetric (k-1)//2 'same' padding this
+    formulation assumes is undefined for even k (the u=kh-1 row-tap slice
+    would run past the padded rows)."""
+    kh, kw = kernel.shape[:2]
+    if kh % 2 != 1 or kw % 2 != 1:
+        raise ValueError(
+            f"conv_small_cin requires odd kernel sizes, got {kh}x{kw}")
     return _fwd_impl(x, kernel, bias)
 
 

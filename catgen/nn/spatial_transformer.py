@@ -292,6 +292,36 @@ class FusedSTBranches(Module):
             jax.random.fold_in(key, 99), x_shape)
         return merge_variables(children)
 
+    def _loc_layout(self):
+        """Derive the joint fast path's structure from the actual
+        localization Sequential instead of hard-coding child names — a
+        reordering or edit of ``_localization_net`` fails loudly here
+        rather than silently diverging from the per-branch path."""
+        seq = self.locs[0]
+        expected = (AvgPool, Conv, LeakyReLU, Conv, LeakyReLU, AvgPool,
+                    Flatten, Dense, LeakyReLU)
+        classes = tuple(type(l) for l in seq.layers)
+        if classes != expected:
+            raise NotImplementedError(
+                f"joint localization fast path expects the layer pattern "
+                f"{[c.__name__ for c in expected]} (models.lua:842-855), "
+                f"got {[c.__name__ for c in classes]}; set "
+                f"CATGEN_JOINT_LOC=0 or update _joint_loc_features")
+        pool1, conv1, act1, conv2, act2, pool2_l = seq.layers[:6]
+        dense = seq.layers[7]
+        if not (pool1.window == pool1.stride == 2
+                and pool2_l.window == pool2_l.stride == 2):
+            raise NotImplementedError("joint loc path assumes 2x2/2 pools")
+        if act1.negative_slope != act2.negative_slope or \
+                act2.negative_slope != seq.layers[8].negative_slope:
+            raise NotImplementedError("joint loc path assumes one slope")
+        if conv1.strides != (1, 1) or conv2.strides != (1, 1) or \
+                conv1.padding != (1, 1) or conv2.padding != (1, 1):
+            raise NotImplementedError("joint loc path assumes same-conv 3x3")
+        names = {k: seq._child_name(i)
+                 for k, i in (("conv1", 1), ("conv2", 3), ("dense", 7))}
+        return names, act1.negative_slope
+
     def _joint_loc_features(self, variables, x):
         """All branch localization nets in one pass (models.lua:842-855,
         x n_tails): they share the input, so their first convs concatenate
@@ -300,11 +330,13 @@ class FusedSTBranches(Module):
         to applying each net separately — parameters stay per-branch and
         gradients flow back through the concat/slice — but collapses
         ~3x4 small-channel conv ops per phase into 4 (measured ~2 ms/step
-        on the D32_st3 train step, KERNELS.md §4)."""
+        on the D32_st3 train step, KERNELS.md §4). Structure (child names,
+        slope, pools) is derived from the Sequential via ``_loc_layout``."""
         nb = len(self.tails)
         ps = [child_variables(variables, f"loc{i}")["params"]
               for i in range(nb)]
-        slope = jnp.asarray(1.0 / 3.0, x.dtype)
+        names, neg_slope = self._loc_layout()
+        slope = jnp.asarray(neg_slope, x.dtype)
 
         def pool2(v):
             s = jax.lax.reduce_window(v, 0.0, jax.lax.add, (1, 2, 2, 1),
@@ -321,18 +353,20 @@ class FusedSTBranches(Module):
                 feature_group_count=groups)
 
         hp = pool2(x)
-        k1 = jnp.concatenate([p["01_Conv"]["kernel"] for p in ps], axis=3)
-        b1 = jnp.concatenate([p["01_Conv"]["bias"] for p in ps])
+        k1 = jnp.concatenate([p[names["conv1"]]["kernel"] for p in ps],
+                             axis=3)
+        b1 = jnp.concatenate([p[names["conv1"]]["bias"] for p in ps])
         hc = leaky(conv(hp, k1) + b1.astype(x.dtype))
-        k2 = jnp.concatenate([p["03_Conv"]["kernel"] for p in ps], axis=3)
-        b2 = jnp.concatenate([p["03_Conv"]["bias"] for p in ps])
+        k2 = jnp.concatenate([p[names["conv2"]]["kernel"] for p in ps],
+                             axis=3)
+        b2 = jnp.concatenate([p[names["conv2"]]["bias"] for p in ps])
         hc = leaky(conv(hc, k2, groups=nb) + b2.astype(x.dtype))
         hc = pool2(hc)                                   # (n, h/4, w/4, nb*c)
         c_per = hc.shape[-1] // nb
         feats = []
         for i in range(nb):
             fl = hc[..., i * c_per:(i + 1) * c_per].reshape(x.shape[0], -1)
-            d = ps[i]["07_Dense"]
+            d = ps[i][names["dense"]]
             feats.append(leaky(jnp.dot(fl, d["kernel"].astype(x.dtype))
                                + d["bias"].astype(x.dtype)))
         return feats

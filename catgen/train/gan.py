@@ -112,12 +112,15 @@ class TrainState(NamedTuple):
 
 
 class StepMetrics(NamedTuple):
-    loss_d: jax.Array
+    loss_d: jax.Array       # mean D loss over the d_iterations batches
     loss_g: jax.Array
-    acc_d: jax.Array        # last D batch accuracy
-    acc_avg: jax.Array      # rolling mean that drives the gate
-    d_trained: jax.Array    # 1.0 if the D update was applied (last iter)
-    # confusion counts over the last D batch (pred=fake/real x true)
+    acc_d: jax.Array        # mean D batch accuracy over the iterations
+    acc_avg: jax.Array      # rolling mean that drives the gate (after last)
+    d_trained: jax.Array    # fraction of D iterations whose update applied
+    # confusion counts summed over ALL d_iterations batches — the reference
+    # feeds CONFUSION:add for every batch of every iteration
+    # (adversarial.lua:101-106), so per-epoch sums must count
+    # d_iterations * batch_size predictions per step
     tp_real: jax.Array
     tn_fake: jax.Array
     fp: jax.Array
@@ -283,15 +286,24 @@ def make_train_step(g: Module, d: Module, config: GanConfig):
             from catgen.data.ops import augment_batch
             reals = augment_batch(jax.random.fold_in(rng, 0x0A06),
                                   reals.astype(cdt))
-        d_stats = None
+        d_stats = []
         for it in range(config.d_iterations):
             # fresh reals per D iteration (adversarial.lua:221-238)
-            state, d_stats = d_phase(
+            state, stats = d_phase(
                 state, reals[it * half:(it + 1) * half], rng, it)
+            d_stats.append(stats)
         loss_g = None
         for it in range(config.g_iterations):
             state, loss_g = g_phase(state, rng, it)
-        loss_d, acc, acc_avg, trained, tp, tn, fp, fn = d_stats
+        # accumulate over the D iterations: losses/accuracies averaged,
+        # confusion counts summed (adversarial.lua:101-106 adds every batch
+        # of every iteration to CONFUSION); acc_avg is the gate's rolling
+        # mean after the final iteration
+        loss_d = sum(s[0] for s in d_stats) / config.d_iterations
+        acc = sum(s[1] for s in d_stats) / config.d_iterations
+        acc_avg = d_stats[-1][2]
+        trained = sum(s[3] for s in d_stats) / config.d_iterations
+        tp, tn, fp, fn = (sum(s[i] for s in d_stats) for i in (4, 5, 6, 7))
         state = state._replace(step=state.step + 1)
         metrics = StepMetrics(loss_d, loss_g, acc, acc_avg, trained,
                               tp, tn, fp, fn)

@@ -52,6 +52,13 @@ class HarnessConfig:
                                   # reference's --noplot spirit (train.lua:24)
                                   # for hosts where per-epoch PNG writing
                                   # dominates the fast TPU epoch
+    normalize: bool = False       # [-1,1] input remap; persists
+                                  # normalize_mean/std in the checkpoint
+                                  # (train.lua:51,209-227,260)
+    collapse_detect: bool = False # watch for GAN collapse (eval/collapse
+                                  # signals) and stop the run when it fires
+                                  # — the automation the reference's
+                                  # eyeball-the-grids workflow lacked
 
     @property
     def image_shape(self):
@@ -103,6 +110,11 @@ class GanHarness:
         # V-rating history, persisted in the checkpoint like the
         # reference's PLOT_DATA (train.lua:260)
         self.plot_data = []
+        if hc.collapse_detect:
+            from catgen.eval.collapse import CollapseDetector
+            self.collapse = CollapseDetector()
+        else:
+            self.collapse = None
         self.logger.log("setup", g_params=param_count(self.state.g_params),
                         d_params=param_count(self.state.d_params),
                         acc_window=self.gc.acc_window,
@@ -142,8 +154,14 @@ class GanHarness:
         self.logger.log("v_loaded", path=path)
 
     def save(self):
+        # normalize_mean/std checkpoint fields (train.lua:260): the active
+        # reference path is a fixed [0,1]->[-1,1] remap whose
+        # nn_utils.normalize returns the 0.5/0.5 dummy pair
+        # (nn_utils.lua:410-411); None when normalization is off
+        norm = 0.5 if self.hc.normalize else None
         meta = {"epoch": int(self.state.epoch),
                 "plot_data": self.plot_data,
+                "normalize_mean": norm, "normalize_std": norm,
                 "config": dataclasses.asdict(self.hc),
                 "gan_config": {k: v for k, v in
                                dataclasses.asdict(self.gc).items()
@@ -217,6 +235,9 @@ class GanHarness:
                                 int(jnp.sum(metrics.tn_fake)),
                                 int(jnp.sum(metrics.fp)),
                                 int(jnp.sum(metrics.fn))))
+        if self.collapse is not None:
+            self.collapse.observe_epoch(summary["epoch"], summary["acc_d"],
+                                        summary["loss_g"])
         return summary
 
     def visualize(self):
@@ -242,18 +263,26 @@ class GanHarness:
         # real training images for comparison (nn_utils.lua:168-175 shows
         # an "original images" window beside the generated ones)
         reals = np.asarray(self.dataset.load_random_images(16))
+        disp_reals = (np.asarray(colorlib.denormalize(jnp.asarray(reals)))
+                      if self.hc.normalize else reals)
         save_grid(os.path.join(base, "images_real", f"epoch_{epoch:06d}.png"),
                   np.asarray(colorlib.colorspace_to_rgb(
-                      jnp.asarray(reals), self.hc.colorspace)), epoch=epoch)
+                      jnp.asarray(disp_reals), self.hc.colorspace)),
+                  epoch=epoch)
         # sanity probes: D should dislike the diagonal pattern and like a
         # real face (nn_utils.lua:136-160)
         real = reals[0]
         probes = sanity_probe_images(real)
         probe_scores = np.asarray(
             gan.discriminate(self.d, self.state, jnp.asarray(probes)))
+        # collapse-signal stats over the fixed-noise sample batch
+        # (eval/collapse.py calibration; rgb is display-space [0,1])
+        from catgen.eval.collapse import per_pixel_std, sat_fraction
         fields = {"epoch": epoch,
                   "d_probe_pattern": float(probe_scores[0]),
-                  "d_probe_real": float(probe_scores[1])}
+                  "d_probe_real": float(probe_scores[1]),
+                  "sample_sat": sat_fraction(rgb),
+                  "sample_std": per_pixel_std(rgb)}
         if self.v is not None:
             fields["v_rating_all"] = float(
                 v_trainer.rate_with_v(self.v, self.v_vars, imgs))
@@ -265,6 +294,11 @@ class GanHarness:
                                    fields["v_rating_good"],
                                    fields["v_rating_bad"]])
         self.logger.log("viz", **fields)
+        if self.collapse is not None:
+            self.collapse.observe_viz(epoch, fields["d_probe_pattern"],
+                                      fields["d_probe_real"],
+                                      fields["sample_sat"],
+                                      fields["sample_std"])
         if self.hc.weights_vis_freq and                 epoch % self.hc.weights_vis_freq == 0:
             from catgen.io.activations import save_activation_grids
             d_vars = {"params": self.state.d_params,
@@ -273,17 +307,50 @@ class GanHarness:
                 self.d, d_vars, imgs[:1],
                 os.path.join(base, "activations", f"epoch_{epoch:06d}"))
 
-    def train(self, epochs: Optional[int] = None):
+    def train(self, epochs: Optional[int] = None,
+              profile_dir: Optional[str] = None):
+        """The reference's infinite epoch loop (train.lua:223-247).
+
+        ``profile_dir``: capture a jax.profiler device trace of the SECOND
+        epoch (the first compiles outside the trace window; with a single
+        epoch the first is traced, compile included) — the profiled epoch
+        runs through the normal loop, so it counts against ``epochs`` and
+        respects the save/vis cadence (--profile, SURVEY.md §5.1)."""
         epochs = epochs if epochs is not None else self.hc.epochs
+        profile_at = 1 if (epochs is None or epochs > 1) else 0
         done = 0
         while epochs is None or done < epochs:
             if done == 0 or int(self.state.epoch) % self.hc.vis_freq == 0:
                 self.visualize()
-            self.run_epoch()
+            if self.collapse is not None and self.collapse.verdict:
+                return self._abort_collapsed()
+            if profile_dir and done == profile_at:
+                with jax.profiler.trace(profile_dir):
+                    self.run_epoch()
+                print(f"[profile] trace written to {profile_dir}")
+            else:
+                self.run_epoch()
             done += 1
             if int(self.state.epoch) % self.hc.save_freq == 0:
                 self.save()
         self.save()
+        return "completed"
+
+    def _abort_collapsed(self) -> str:
+        """Collapse detector fired: save state + a collapse.json verdict,
+        stop the run (tools/seed_sweep.py reads both)."""
+        import json
+        report = self.collapse.report()
+        report["aborted_at_epoch"] = int(self.state.epoch)
+        path = os.path.join(self.hc.save_dir, "collapse.json")
+        with open(path, "w") as f:
+            json.dump(report, f, indent=1)
+        self.logger.log("collapse_detected", **{
+            k: report[k] for k in ("reason", "fired_epoch")})
+        print(f"[collapse] {report['reason']} fired at epoch "
+              f"{report['fired_epoch']} — stopping (verdict in {path})")
+        self.save()
+        return "collapsed"
 
 
 class VHarness:

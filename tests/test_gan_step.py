@@ -144,10 +144,15 @@ def test_d_iterations_static_unroll(rng):
     g, d, config, state, step = _setup(cfg)
     # the step consumes d_iterations fresh half-batches (adversarial.lua:221)
     reals = _reals(rng, 2 * (config.batch_size // 2))
-    new_state, _ = step(state, reals, jax.random.PRNGKey(1))
+    new_state, metrics = step(state, reals, jax.random.PRNGKey(1))
     assert int(new_state.d_opt.step) == 2  # two D updates per step
     # gate window advanced twice
     assert int(new_state.acc_count) == 2
+    # confusion counts accumulate over BOTH iterations
+    # (adversarial.lua:101-106 adds every batch to CONFUSION)
+    total = sum(int(x) for x in (metrics.tp_real, metrics.tn_fake,
+                                 metrics.fp, metrics.fn))
+    assert total == config.d_iterations * config.batch_size
 
 
 def test_d_iterations_fresh_reals_parity(rng):
