@@ -1,0 +1,141 @@
+"""Automated GAN-collapse detection.
+
+The reference's only defenses against adversarial-training collapse are
+human eyeballs on the grid images plus the ``D_maxAcc`` gate
+(adversarial.lua:144-166); its showcase results are picks from many runs
+(README.md:32-60). catgen's round-2 sweep showed the fixture-corpus recipe
+collapses in a large fraction of runs with NO code bug (QUALITY.md), so
+long-run quality evidence needs tooling: detect degenerate runs early,
+kill them, relaunch with the next seed (tools/seed_sweep.py).
+
+Calibrated on the committed round-2 trails (healthy 500-epoch run in
+``artifacts/longrun`` vs the collapsed ``runs/abA``/``runs/seed7`` et al.),
+whose signatures separate cleanly:
+
+  signal            healthy               collapsed
+  ----------------  --------------------  -----------------------------
+  acc_d / loss_g    0.75-0.86 / bounded   acc_d -> 1.0 AND loss_g pinned
+                    (transients to ~4)    at -log(eps) ~ 16 for hundreds
+                                          of epochs (abA ep31+)
+  sanity probes     pattern low, real     BOTH pinned to the same extreme
+                    high (0.23 / 1.0)     (1.0/1.0 or 0.0/0.0) — D no
+                                          longer separates anything
+  pixel saturation  0.002-0.07            0.48 (blob collapse drives
+  (frac at 0/1)                           pixels to the rails)
+  per-pixel std     0.12-0.20             ~0 only for flat/black collapse
+                                          (blob collapse stays high — std
+                                          alone is NOT sufficient)
+
+Every signal must persist (consecutive observations) past a warmup epoch,
+because early training legitimately visits degenerate-looking states
+(epoch-1 samples are near-identical; probes start at 0.5/0.5).
+
+All inputs are already computed by the harness/eval path
+(catgen/eval/quality.py, train/harness.py viz fields) — this module just
+watches them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+
+def sat_fraction(images: np.ndarray, tol: float = 0.04) -> float:
+    """Fraction of pixel values at the rails ([0,1] images)."""
+    x = np.asarray(images, np.float32)
+    return float(((x < tol) | (x > 1.0 - tol)).mean())
+
+
+def per_pixel_std(images: np.ndarray) -> float:
+    """Mean across-batch std per pixel — quality.py's diversity stat."""
+    return float(np.mean(np.std(np.asarray(images, np.float32), axis=0)))
+
+
+@dataclasses.dataclass
+class CollapseConfig:
+    min_epoch: int = 60        # ignore everything before this epoch
+    k_epochs: int = 15         # consecutive epoch-level hits to fire
+    k_viz: int = 3             # consecutive viz-level hits to fire
+    acc_hi: float = 0.98       # D runaway: acc_d >= acc_hi ...
+    loss_g_hi: float = 8.0     # ... AND loss_g >= loss_g_hi (healthy
+                               # transients peak ~4; collapsed pins ~14-16)
+    probe_pin: float = 0.98    # both probes > pin or both < 1-pin
+    sat_threshold: float = 0.25
+    std_floor: float = 0.03    # flat/black collapse
+
+
+class CollapseDetector:
+    """Streaming detector: feed per-epoch and per-viz observations; check
+    ``verdict`` (None while healthy, else a reason string)."""
+
+    def __init__(self, config: Optional[CollapseConfig] = None):
+        self.cfg = config or CollapseConfig()
+        self._runs = {"d_runaway": 0, "probe_pinned": 0,
+                      "saturated": 0, "flat": 0}
+        self.verdict: Optional[str] = None
+        self.fired_epoch: Optional[int] = None
+        self.history: List[Dict[str, Any]] = []
+
+    def _hit(self, name: str, hit: bool, k: int, epoch: int):
+        self._runs[name] = self._runs[name] + 1 if hit else 0
+        if self._runs[name] >= k and self.verdict is None:
+            self.verdict = name
+            self.fired_epoch = epoch
+
+    def observe_epoch(self, epoch: int, acc_d: float, loss_g: float):
+        if epoch < self.cfg.min_epoch:
+            return
+        hit = acc_d >= self.cfg.acc_hi and loss_g >= self.cfg.loss_g_hi
+        self._hit("d_runaway", hit, self.cfg.k_epochs, epoch)
+
+    def observe_viz(self, epoch: int, probe_pattern: float,
+                    probe_real: float, sample_sat: float,
+                    sample_std: float):
+        self.history.append({"epoch": epoch, "probe_pattern": probe_pattern,
+                             "probe_real": probe_real,
+                             "sample_sat": sample_sat,
+                             "sample_std": sample_std})
+        if epoch < self.cfg.min_epoch:
+            return
+        p = self.cfg.probe_pin
+        pinned = ((probe_pattern > p and probe_real > p)
+                  or (probe_pattern < 1 - p and probe_real < 1 - p))
+        self._hit("probe_pinned", pinned, self.cfg.k_viz, epoch)
+        self._hit("saturated", sample_sat > self.cfg.sat_threshold,
+                  self.cfg.k_viz, epoch)
+        self._hit("flat", sample_std < self.cfg.std_floor,
+                  self.cfg.k_viz, epoch)
+
+    def report(self) -> Dict[str, Any]:
+        return {"collapsed": self.verdict is not None,
+                "reason": self.verdict, "fired_epoch": self.fired_epoch,
+                "config": dataclasses.asdict(self.cfg)}
+
+
+def scan_metrics(jsonl_path: str,
+                 config: Optional[CollapseConfig] = None) -> Dict[str, Any]:
+    """Offline classification of a finished/partial run from its
+    train_metrics.jsonl (the sweep table path). Viz events need the
+    ``sample_sat``/``sample_std`` fields (logged from round 3 on); older
+    trails still get the epoch-level and probe signals."""
+    det = CollapseDetector(config)
+    with open(jsonl_path) as f:
+        for line in f:
+            try:
+                ev = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if ev.get("event") == "epoch":
+                det.observe_epoch(ev["epoch"], ev.get("acc_d", 0.0),
+                                  ev.get("loss_g", 0.0))
+            elif ev.get("event") == "viz":
+                det.observe_viz(ev["epoch"],
+                                ev.get("d_probe_pattern", 0.5),
+                                ev.get("d_probe_real", 0.5),
+                                ev.get("sample_sat", 0.0),
+                                ev.get("sample_std", 0.15))
+    return det.report()

@@ -1,0 +1,142 @@
+"""Collapse-detector tests (catgen/eval/collapse.py), driven by synthetic
+event streams shaped like the round-2 trails: the healthy 500-epoch run
+(acc_d 0.75-0.86, probes 0.23/1.0, sat ~0.005) and the collapsed runs
+(acc_d -> 1.0 + loss_g pinned ~16, both probes pinned, sat ~0.48)."""
+
+import json
+import os
+
+import numpy as np
+
+from catgen.eval import collapse
+
+
+def _feed_healthy(det, epochs=500, vis_freq=5):
+    rng = np.random.RandomState(0)
+    for e in range(1, epochs + 1):
+        det.observe_epoch(e, 0.75 + 0.11 * rng.rand(), 0.8 + 3 * rng.rand())
+        if e % vis_freq == 0:
+            det.observe_viz(e, 0.23, 1.0, 0.005, 0.16)
+
+
+def test_healthy_run_not_flagged():
+    det = collapse.CollapseDetector()
+    _feed_healthy(det)
+    assert det.verdict is None
+
+
+def test_healthy_transient_spike_not_flagged():
+    # seed7 showed loss_g transients to ~4.2 with recovery; even a short
+    # excursion above the thresholds must not fire without persistence
+    det = collapse.CollapseDetector()
+    for e in range(1, 200):
+        if 100 <= e < 110:  # 10 < k_epochs=15 consecutive hits
+            det.observe_epoch(e, 1.0, 14.0)
+        else:
+            det.observe_epoch(e, 0.8, 1.5)
+    assert det.verdict is None
+
+
+def test_d_runaway_fires():
+    # the abA signature: acc_d 1.0, loss_g pinned at -log(eps) ~ 16
+    det = collapse.CollapseDetector()
+    for e in range(1, 120):
+        acc, lg = (1.0, 16.1) if e >= 80 else (0.8, 1.2)
+        det.observe_epoch(e, acc, lg)
+    assert det.verdict == "d_runaway"
+    assert det.fired_epoch == 80 + det.cfg.k_epochs - 1
+
+
+def test_early_epochs_ignored():
+    # epoch-1 degeneracy (identical samples, 0.5/0.5 probes) is normal
+    det = collapse.CollapseDetector()
+    for e in range(1, det.cfg.min_epoch):
+        det.observe_epoch(e, 1.0, 16.1)
+        det.observe_viz(e, 0.99, 0.99, 0.5, 0.001)
+    assert det.verdict is None
+
+
+def test_probe_pinned_fires_both_extremes():
+    for hi in (True, False):
+        det = collapse.CollapseDetector()
+        v = 1.0 if hi else 0.0
+        for e in range(60, 90, 5):
+            det.observe_viz(e, v, v, 0.01, 0.15)
+        assert det.verdict == "probe_pinned"
+    # pattern low / real high (the healthy direction) never fires
+    det = collapse.CollapseDetector()
+    for e in range(60, 200, 5):
+        det.observe_viz(e, 0.01, 0.99, 0.01, 0.15)
+    assert det.verdict is None
+
+
+def test_saturation_and_flat_fire():
+    det = collapse.CollapseDetector()
+    for e in range(60, 90, 5):
+        det.observe_viz(e, 0.2, 0.9, 0.48, 0.3)   # blob collapse
+    assert det.verdict == "saturated"
+    det = collapse.CollapseDetector()
+    for e in range(60, 90, 5):
+        det.observe_viz(e, 0.2, 0.9, 0.0, 0.001)  # black/flat collapse
+    assert det.verdict == "flat"
+
+
+def test_stat_helpers():
+    imgs = np.zeros((8, 4, 4, 3), np.float32)
+    assert collapse.sat_fraction(imgs) == 1.0
+    assert collapse.per_pixel_std(imgs) == 0.0
+    imgs = np.random.RandomState(0).rand(64, 4, 4, 3).astype(np.float32) \
+        * 0.8 + 0.1
+    assert collapse.sat_fraction(imgs) == 0.0
+    assert 0.15 < collapse.per_pixel_std(imgs) < 0.35
+
+
+def test_scan_metrics_offline(tmp_path):
+    p = str(tmp_path / "train_metrics.jsonl")
+    with open(p, "w") as f:
+        for e in range(1, 200):
+            acc, lg = (1.0, 16.1) if e >= 100 else (0.8, 1.0)
+            f.write(json.dumps({"event": "epoch", "epoch": e,
+                                "acc_d": acc, "loss_g": lg}) + "\n")
+    rep = collapse.scan_metrics(p)
+    assert rep["collapsed"] and rep["reason"] == "d_runaway"
+
+    q = str(tmp_path / "healthy.jsonl")
+    with open(q, "w") as f:
+        for e in range(1, 200):
+            f.write(json.dumps({"event": "epoch", "epoch": e,
+                                "acc_d": 0.8, "loss_g": 1.0}) + "\n")
+            f.write(json.dumps({"event": "viz", "epoch": e,
+                                "d_probe_pattern": 0.2,
+                                "d_probe_real": 1.0,
+                                "sample_sat": 0.01,
+                                "sample_std": 0.16}) + "\n")
+    rep = collapse.scan_metrics(q)
+    assert not rep["collapsed"]
+
+
+def test_harness_aborts_on_collapse(tmp_path):
+    """End-to-end: a GanHarness with collapse_detect stops and writes
+    collapse.json when the detector fires (fed synthetically here — real
+    collapse needs hundreds of epochs)."""
+    from catgen.data.fixture import write_fixture_dataset
+    from catgen.data.loader import ImageDataset
+    from catgen.train import gan
+    from catgen.train.harness import GanHarness, HarnessConfig
+
+    save = str(tmp_path / "logs")
+    fx = str(tmp_path / "fixture")
+    write_fixture_dataset(fx, n=8)
+    hc = HarnessConfig(save_dir=save, scale=16, n_epoch=16, epochs=5,
+                       g_model="g16up", d_model="d16b",
+                       collapse_detect=True)
+    h = GanHarness(hc, gan.GanConfig(batch_size=8),
+                   ImageDataset([fx], scale=16))
+    # pre-poison the detector as if a collapsed history had been observed
+    for e in range(60, 60 + h.collapse.cfg.k_epochs):
+        h.collapse.observe_epoch(e, 1.0, 16.1)
+    status = h.train()
+    assert status == "collapsed"
+    rep = json.load(open(os.path.join(save, "collapse.json")))
+    assert rep["reason"] == "d_runaway"
+    assert os.path.exists(os.path.join(save, "adversarial.ckpt"))
