@@ -25,8 +25,10 @@ single ``jit`` (optionally ``lax.scan``-ed over an epoch of batches and
 ``shard_map``-ed over a mesh — see catgen/dist).
 
 Mode semantics match the reference's always-training-mode loop: dropout is
-active in D for both phases and in G; G's BatchNorm uses batch statistics in
-both phases but its running stats are only advanced during the G phase.
+active in D for both phases and in G; G's BatchNorm uses batch statistics
+AND advances its running stats on every training-mode forward — including
+the D-phase fake generation (Torch modules stay in training mode through
+NN_UTILS.createImages, adversarial.lua:233 / nn_utils.lua:45-77).
 """
 
 from __future__ import annotations
@@ -199,10 +201,12 @@ def make_train_step(g: Module, d: Module, config: GanConfig):
     def d_phase(state: TrainState, reals, rng, it):
         rng_noise, rng_g, rng_d = jax.random.split(jax.random.fold_in(rng, it), 3)
         noise = uniform_noise(rng_noise, half, config.noise_dim, cdt)
-        # G in training mode (batch-stat BN, reference semantics), state
-        # updates discarded in the D phase.
+        # G in training mode: batch-stat BN whose running stats ADVANCE on
+        # this forward too — Torch modules stay in training mode through
+        # the D phase's createImages (adversarial.lua:233), so every
+        # training-mode G forward updates the running estimates.
         g_vars = {"params": state.g_params, "state": state.g_state}
-        fakes, _ = g_apply(g_vars, noise, True, rng_g)
+        fakes, g_state = g_apply(g_vars, noise, True, rng_g)
         fakes = lax.stop_gradient(fakes)
         inputs = jnp.concatenate([reals.astype(cdt), fakes], axis=0)
         targets = jnp.concatenate([jnp.ones((half,)), jnp.zeros((half,))])
@@ -246,6 +250,7 @@ def make_train_step(g: Module, d: Module, config: GanConfig):
 
         state = state._replace(
             d_params=d_params, d_state=d_state, d_opt=d_opt,
+            g_state=g_state,
             acc_buffer=buf, acc_count=count, acc_index=index)
         stats = (loss, acc, acc_avg,
                  do_train.astype(jnp.float32), tp, tn, fp, fn)

@@ -260,6 +260,12 @@ def build_report(run_dir: str) -> str:
     viz = [e for e in events if e.get("event") == "viz"
            and "d_probe_pattern" in e]
     setup = next((e for e in events if e.get("event") == "setup"), {})
+    if not viz:
+        # curated artifact dirs (artifacts/longrun) carry the viz stream
+        # as v_curve.json — the checkpoint's PLOT_DATA equivalent
+        vc = os.path.join(run_dir, "v_curve.json")
+        if os.path.exists(vc):
+            viz = json.load(open(vc))
 
     charts = []
     if eps:
@@ -328,7 +334,7 @@ def build_report(run_dir: str) -> str:
                    + quality_table(json.load(open(qpath))))
 
     strips = ""
-    main_strip = filmstrip(run_dir)
+    main_strip = filmstrip(run_dir) or filmstrip(run_dir, "epochs")
     if main_strip:
         strips += "<h2>Sample grids (fixed noise)</h2>" + main_strip
     n_ep = eps[-1]["epoch"] if eps else 0
