@@ -50,6 +50,19 @@ smallcin_impl = os.environ.get("CATGEN_SMALLCIN_IMPL", "auto")
 # FusedSTBranches localization nets: jointly (one concat conv + one
 # grouped conv, ~2 ms/step faster) or per-branch (reference formulation)
 joint_loc = os.environ.get("CATGEN_JOINT_LOC", "1") == "1"
+# D's [input ST -> conv3x3 -> PReLU] prefix: "fused" = one Pallas pass
+# (in-kernel affine grid + sampling + conv epilogue,
+# kernels/pallas_st_conv.py — removes the C=3 conv's XLA layout copies),
+# "split" = the reference Sequential composition. "auto" resolves to
+# fused on TPU.
+st_conv_impl = os.environ.get("CATGEN_ST_CONV", "auto")
+st_conv_interpret = False    # tests: run the fused kernel interpreted
+
+
+def resolve_st_conv_impl() -> str:
+    if st_conv_impl != "auto":
+        return st_conv_impl
+    return "fused" if _on_tpu() else "split"
 
 
 def resolve_smallcin_impl() -> str:

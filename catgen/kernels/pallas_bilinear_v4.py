@@ -190,6 +190,40 @@ def _bwd_kernel(h: int, w: int, c: int, bt: int, pt: int):
     return kernel_fn
 
 
+def _axis_expanders(h: int, w: int):
+    """One-hot expanders for MXU mask building:
+    Ey (h, h*w): Ey[y, y*w+x] = 1 (spread a per-y weight across its row)
+    Ex (w, h*w): Ex[x, y*w+x] = 1 (spread a per-x weight down its column)."""
+    import numpy as np
+    ey = np.zeros((h, h * w), np.float32)
+    ex = np.zeros((w, h * w), np.float32)
+    for y in range(h):
+        ey[y, y * w:(y + 1) * w] = 1.0
+    for x in range(w):
+        ex[x, x::w] = 1.0
+    return jnp.asarray(ey, jnp.bfloat16), jnp.asarray(ex, jnp.bfloat16)
+
+
+def _dense_mask_parts_mxu(y0, x0, wy, wx, h, w, bt, pt, ey_ref, ex_ref,
+                          derivs: bool):
+    """MXU formulation of the dense mask parts: per-axis transposed masks
+    (O(P*(h+w)) VPU compares) expanded to (bt, pt, h*w) by one-hot
+    matmuls — moves the O(P*h*w) of _dense_mask_parts' iota compares from
+    the VPU onto the MXU (CATGEN_V4_DENSE_MASK=mxu; measured A/B in
+    KERNELS.md)."""
+    a_t = _mask_t(y0, wy, h, bt, pt)                     # (bt, h, pt)
+    b_t = _mask_t(x0, wx, w, bt, pt)                     # (bt, w, pt)
+    my = _expand(a_t, ey_ref).astype(jnp.float32)        # (bt, pt, hw)
+    mx = _expand(b_t, ex_ref).astype(jnp.float32)
+    if not derivs:
+        return my, mx, None, None
+    dmy = _expand(_mask_t(y0, wy, h, bt, pt, d=True),
+                  ey_ref).astype(jnp.float32)
+    dmx = _expand(_mask_t(x0, wx, w, bt, pt, d=True),
+                  ex_ref).astype(jnp.float32)
+    return my, mx, dmy, dmx
+
+
 def _dense_mask_parts(y0, x0, wy, wx, h, w, bt, pt):
     """Per-axis dense weights my, mx, dmy, dmx — all (bt, pt, h*w) f32,
     built from one lane-wide iota and four compares (shared between the
@@ -223,6 +257,22 @@ def _dense_fwd_kernel(h: int, w: int, c: int, bt: int, pt: int):
         m = _dense_mask(y0, x0, wy, wx, h, w, bt, pt)    # (bt, pt, hw)
         out = jax.lax.dot_general(                       # (bt, pt, c) f32
             m, img_ref[:].astype(jnp.bfloat16),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        out_ref[:] = out.astype(out_ref.dtype)
+
+    return kernel_fn
+
+
+def _dense_fwd_kernel_mxu(h: int, w: int, c: int, bt: int, pt: int):
+    def kernel_fn(img_ref, crd_ref, ey_ref, ex_ref, out_ref):
+        crd = crd_ref[:].astype(jnp.float32)
+        y0, x0, wy, wx, _, _ = _weights_rows(crd[:, 0, :], crd[:, 1, :],
+                                             h, w)
+        my, mx, _, _ = _dense_mask_parts_mxu(y0, x0, wy, wx, h, w, bt, pt,
+                                             ey_ref, ex_ref, derivs=False)
+        out = jax.lax.dot_general(
+            (my * mx).astype(jnp.bfloat16), img_ref[:].astype(jnp.bfloat16),
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
         out_ref[:] = out.astype(out_ref.dtype)
@@ -267,6 +317,44 @@ def _dense_bwd_kernel(h: int, w: int, c: int, bt: int, pt: int):
     return kernel_fn
 
 
+def _dense_bwd_kernel_mxu(h: int, w: int, c: int, bt: int, pt: int):
+    def kernel_fn(img_ref, crd_ref, g_ref, ey_ref, ex_ref,
+                  dimg_ref, dcrd_ref):
+        j = pl.program_id(1)
+        crd = crd_ref[:].astype(jnp.float32)
+        y0, x0, wy, wx, in_y, in_x = _weights_rows(
+            crd[:, 0, :], crd[:, 1, :], h, w)
+        g = g_ref[:].astype(jnp.bfloat16)
+
+        my, mx, dmy, dmx = _dense_mask_parts_mxu(
+            y0, x0, wy, wx, h, w, bt, pt, ey_ref, ex_ref, derivs=True)
+        contrib = jax.lax.dot_general(
+            (my * mx).astype(jnp.bfloat16), g,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+
+        @pl.when(j == 0)
+        def _init():
+            dimg_ref[:] = contrib
+
+        @pl.when(j > 0)
+        def _acc():
+            dimg_ref[:] = dimg_ref[:] + contrib
+
+        imgg = jax.lax.dot_general(
+            g, img_ref[:].astype(jnp.bfloat16),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dfy = jnp.sum(dmy * mx * imgg, axis=2)
+        dfx = jnp.sum(my * dmx * imgg, axis=2)
+
+        dy = dfy * in_y * (0.5 * (h - 1))
+        dx = dfx * in_x * (0.5 * (w - 1))
+        dcrd_ref[:] = jnp.stack([dy, dx], axis=1).astype(dcrd_ref.dtype)
+
+    return kernel_fn
+
+
 # sampling formulation dispatch: the dense one-hot matrix M is (P, H*W) —
 # for small feature maps one full-K matmul beats two K=H underfilled
 # separable contractions plus lane expansions (measured, KERNELS.md §2).
@@ -278,6 +366,10 @@ _DENSE_MAX_HW = 256
 # the 16x16x64 branch ST — the dense mask VPU cost is still cheaper than
 # the separable path's K=16 lane expansions. Knob kept for re-measuring.
 _DENSE_MAX_HW_BWD = int(os.environ.get("CATGEN_V4_DENSE_BWD_HW", "256"))
+# dense-mask construction: "vpu" = O(P*HW) iota compares (the original),
+# "mxu" = per-axis masks + one-hot expander matmuls (attacks the sampler
+# VPU mask floor, KERNELS.md §5)
+_DENSE_MASK_IMPL = os.environ.get("CATGEN_V4_DENSE_MASK", "vpu")
 
 
 # Per-kernel scoped-VMEM ceiling. The Mosaic default is 16 MB but v5e has
@@ -339,15 +431,29 @@ def _forward(img, coords_rows, out_hw, interpret):
     assert coords_rows.shape == (n, 2, p), (coords_rows.shape, (n, 2, p))
     if h * w <= _DENSE_MAX_HW:
         bt, pt = _dense_tiles(n, p, h, w, c, bwd=False)
+        in_specs = [
+            pl.BlockSpec((bt, h * w, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 2, pt), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands = [img.reshape(n, h * w, c), coords_rows]
+        if _DENSE_MASK_IMPL == "mxu":
+            ey, ex = _axis_expanders(h, w)
+            in_specs += [
+                pl.BlockSpec((h, h * w), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((w, h * w), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            operands += [ey, ex]
+            kernel = _dense_fwd_kernel_mxu(h, w, c, bt, pt)
+        else:
+            kernel = _dense_fwd_kernel(h, w, c, bt, pt)
         out = pl.pallas_call(
-            _dense_fwd_kernel(h, w, c, bt, pt),
+            kernel,
             grid=(n // bt, p // pt),
-            in_specs=[
-                pl.BlockSpec((bt, h * w, c), lambda i, j: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((bt, 2, pt), lambda i, j: (i, 0, j),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((bt, pt, c), lambda i, j: (i, j, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((n, p, c), img.dtype),
@@ -355,7 +461,7 @@ def _forward(img, coords_rows, out_hw, interpret):
                 dimension_semantics=("parallel", "parallel"),
                 vmem_limit_bytes=V4_VMEM_LIMIT),
             interpret=interpret,
-        )(img.reshape(n, h * w, c), coords_rows)
+        )(*operands)
         return out.reshape(n, ho, wo, c)
     bt, pt = _tiles(n, p, h, w, c, bwd=False)
     e, s = _expanders(w, c)
@@ -408,17 +514,32 @@ def _bwd(out_hw, interpret, res, g):
     p = ho * wo
     if h * w <= _DENSE_MAX_HW_BWD:
         bt, pt = _dense_tiles(n, p, h, w, c, bwd=True)
+        in_specs = [
+            pl.BlockSpec((bt, h * w, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 2, pt), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, pt, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands = [img.reshape(n, h * w, c), coords_rows,
+                    g.reshape(n, p, c)]
+        if _DENSE_MASK_IMPL == "mxu":
+            ey, ex = _axis_expanders(h, w)
+            in_specs += [
+                pl.BlockSpec((h, h * w), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((w, h * w), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            operands += [ey, ex]
+            kernel = _dense_bwd_kernel_mxu(h, w, c, bt, pt)
+        else:
+            kernel = _dense_bwd_kernel(h, w, c, bt, pt)
         dimg_f, dcrd = pl.pallas_call(
-            _dense_bwd_kernel(h, w, c, bt, pt),
+            kernel,
             grid=(n // bt, p // pt),
-            in_specs=[
-                pl.BlockSpec((bt, h * w, c), lambda i, j: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((bt, 2, pt), lambda i, j: (i, 0, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((bt, pt, c), lambda i, j: (i, j, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=(
                 pl.BlockSpec((bt, h * w, c), lambda i, j: (i, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -433,7 +554,7 @@ def _bwd(out_hw, interpret, res, g):
                 dimension_semantics=("parallel", "arbitrary"),
                 vmem_limit_bytes=V4_VMEM_LIMIT),
             interpret=interpret,
-        )(img.reshape(n, h * w, c), coords_rows, g.reshape(n, p, c))
+        )(*operands)
         return dimg_f.reshape(n, h, w, c).astype(img.dtype), dcrd
     bt, pt = _tiles(n, p, h, w, c, bwd=True)
     e, s = _expanders(w, c)

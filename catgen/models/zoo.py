@@ -31,6 +31,7 @@ from catgen.nn.layers import (AvgPool, BatchNorm, Conv, Dense, Dropout,
                               Flatten, LeakyReLU, MaxPool, PReLU, Reshape,
                               Sigmoid, Softmax, SpatialDropout)
 from catgen.nn.spatial_transformer import (FusedSTBranches,
+                                            FusedSTConvPReLU,
                                             SpatialTransformer)
 
 ImageShape = Tuple[int, int, int]  # (H, W, C)
@@ -298,8 +299,11 @@ def create_D32_st3(image: ImageShape, axis_name: Optional[str] = None) -> Module
         Conv(128, (7, 7)), PReLU(),
     ], name="conv_branch")
     return Sequential([
-        SpatialTransformer(True, False, False),
-        Conv(64, (3, 3)), PReLU(),
+        # [ST -> conv3x3 -> PReLU] input prefix as one fusable block
+        # (models.lua:643-648; CATGEN_ST_CONV picks the Pallas single-pass
+        # kernel or the split composition)
+        FusedSTConvPReLU(SpatialTransformer(True, False, False),
+                         Conv(64, (3, 3)), PReLU()),
         Conv(64, (3, 3)), PReLU(),
         AvgPool(2), SpatialDropout(0.2),
         FusedSTBranches([_st_branch_tail(), _st_branch_tail(),
@@ -327,8 +331,8 @@ def create_D16_st3(image: ImageShape, axis_name: Optional[str] = None) -> Module
         Conv(128, (7, 7)), PReLU(),
     ], name="conv_branch")
     return Sequential([
-        SpatialTransformer(True, False, False),
-        Conv(64, (3, 3)), PReLU(),
+        FusedSTConvPReLU(SpatialTransformer(True, False, False),
+                         Conv(64, (3, 3)), PReLU()),
         Conv(64, (3, 3)), PReLU(),
         FusedSTBranches([_st_branch16_tail(), _st_branch16_tail(),
                          _st_branch16_tail()], branch4),

@@ -433,3 +433,69 @@ class FusedSTBranches(Module):
     @property
     def name(self):
         return "FusedSTBranches"
+
+
+class FusedSTConvPReLU(Module):
+    """D's input prefix [SpatialTransformer -> Conv(3x3 same) -> PReLU]
+    (models.lua:643-652) with a single-pass Pallas implementation.
+
+    The C=3 input conv is pathological for XLA on TPU (lane-padding layout
+    copies, KERNELS.md §5); the fused kernel (kernels/pallas_st_conv.py)
+    samples and convolves in one pass with the affine grid generated
+    in-kernel. Parameters and semantics are identical to the split
+    Sequential composition — selection is CATGEN_ST_CONV=fused|split|auto
+    and an equality test pins the two paths together
+    (tests/test_st_conv_fused.py)."""
+
+    def __init__(self, st: SpatialTransformer, conv, act):
+        self.st, self.conv, self.act = st, conv, act
+
+    def init(self, key, x_shape):
+        k1, k2, k3 = jax.random.split(key, 3)
+        st_vars = self.st.init(k1, x_shape)
+        conv_vars = self.conv.init(k2, self.st.out_shape(x_shape))
+        act_vars = self.act.init(
+            k3, self.conv.out_shape(self.st.out_shape(x_shape)))
+        return merge_variables({"st": st_vars, "conv": conv_vars,
+                                "act": act_vars})
+
+    def _can_fuse(self, x) -> bool:
+        return (self.conv.kernel_size == (3, 3)
+                and self.conv.strides == (1, 1)
+                and self.conv.padding == (1, 1)
+                and x.shape[1] > 2 and x.shape[2] > 2)
+
+    def apply(self, variables, x, *, train=False, rng=None):
+        from catgen.kernels import config as kconfig
+
+        st_vars = child_variables(variables, "st")
+        if kconfig.resolve_st_conv_impl() == "fused" and self._can_fuse(x):
+            feats, loc_state = self.st.loc.apply(
+                child_variables(st_vars, "loc"), x, train=train, rng=rng)
+            params, head_state = self.st.head.apply(
+                child_variables(st_vars, "head"), feats, train=train,
+                rng=rng)
+            theta = affine_matrix(params.astype(jnp.float32),
+                                  *self.st.flags)
+            conv_p = child_variables(variables, "conv")["params"]
+            act_p = child_variables(variables, "act")["params"]
+            from catgen.kernels.pallas_st_conv import st_conv_prelu
+            y = st_conv_prelu(x, theta, conv_p["kernel"], conv_p["bias"],
+                              act_p["alpha"], kconfig.st_conv_interpret)
+            state = {"st": {"loc": loc_state, "head": head_state},
+                     "conv": child_variables(variables, "conv")["state"],
+                     "act": child_variables(variables, "act")["state"]}
+            return y, state
+        y, st_state = self.st.apply(st_vars, x, train=train, rng=rng)
+        y, conv_state = self.conv.apply(
+            child_variables(variables, "conv"), y, train=train, rng=rng)
+        y, act_state = self.act.apply(
+            child_variables(variables, "act"), y, train=train, rng=rng)
+        return y, {"st": st_state, "conv": conv_state, "act": act_state}
+
+    def out_shape(self, x_shape):
+        return self.conv.out_shape(self.st.out_shape(x_shape))
+
+    @property
+    def name(self):
+        return "FusedSTConvPReLU"

@@ -186,3 +186,34 @@ def test_sampler_kernel_selection(monkeypatch):
             kconfig.set_sampler_kernel("v99")
     finally:
         kconfig.set_sampler_kernel(orig)
+
+
+def test_v4_dense_mask_mxu_matches_vpu(rng, monkeypatch):
+    """CATGEN_V4_DENSE_MASK=mxu (one-hot expander matmuls) must reproduce
+    the vpu iota-compare dense path, fwd + VJP (dense path: h*w <= 256)."""
+    from catgen.kernels import pallas_bilinear_v4 as v4
+
+    n, h, w, c, ho, wo = 2, 16, 16, 8, 24, 16
+    img = jnp.asarray(rng.rand(n, h, w, c).astype(np.float32))
+    coords = jnp.asarray(
+        rng.uniform(-1.1, 1.1, (n, ho, wo, 2)).astype(np.float32))
+    g = jnp.asarray(rng.randn(n, ho, wo, c).astype(np.float32))
+
+    def run():
+        out, vjp = jax.vjp(lambda i, cd: bilinear_sample_tiled(i, cd, True),
+                           img, coords)
+        return out, vjp(g)
+
+    monkeypatch.setattr(v4, "_DENSE_MASK_IMPL", "vpu")
+    out_v, (di_v, dc_v) = run()
+    monkeypatch.setattr(v4, "_DENSE_MASK_IMPL", "mxu")
+    out_m, (di_m, dc_m) = run()
+    # the mxu path quantizes the per-axis weights to bf16 before the
+    # expander matmuls (the vpu path keeps f32 until the final dot) —
+    # both are equally close to ground truth, ~1e-2 apart from each other
+    np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_v),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(di_m), np.asarray(di_v),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(dc_m), np.asarray(dc_v),
+                               rtol=3e-2, atol=6e-2)
