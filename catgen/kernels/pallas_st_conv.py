@@ -21,9 +21,10 @@ one pass:
     bias + PReLU in-register. Out-of-image halo rows are zeroed via the
     sampling mask, which reproduces the conv's zero padding.
 
-The backward needs no new kernel: PReLU/bias/kernel cotangents are plain
-XLA matmuls over the saved sampled tile S (dK = patches(S)^T @ dz, dS =
-unshift(dz @ K^T)) — MXU-shaped, unlike XLA's C=3 conv gradients — and
+The backward needs no new kernel: dz comes from the saved pre-activation
+z; kernel/input cotangents are skinny MXU matmuls over the saved sampled
+tile S, with the 3x3 taps realized as flattened-p sublane shifts + edge
+masks (never C=3 NHWC rolls, which cost lane relayouts) — and
 (d_img, dtheta) reuse the v4 sampler VJP + one small grid einsum.
 
 Selection: CATGEN_ST_CONV=fused|split (kernels/config.py); the split path
@@ -57,7 +58,7 @@ def _st_conv_kernel(h: int, w: int, c: int, f: int, bt: int, pt: int,
     pt_e = pt + 2 * halo
 
     def kernel_fn(img_ref, theta_ref, e_ref, s_ref, kmat_ref, bias_ref,
-                  alpha_ref, out_ref, samp_ref):
+                  alpha_ref, out_ref, samp_ref, z_ref):
         j = pl.program_id(1)
         # ---- extended-tile coords from theta (affine_grid_rows math) ----
         p_ext = (jax.lax.broadcasted_iota(jnp.int32, (bt, pt_e), 1)
@@ -112,6 +113,7 @@ def _st_conv_kernel(h: int, w: int, c: int, f: int, bt: int, pt: int,
                 preferred_element_type=jnp.float32)
             z = contrib if z is None else z + contrib
         z = z + bias_ref[:].astype(jnp.float32)
+        z_ref[:] = z.astype(z_ref.dtype)     # saved for the VJP's PReLU
         alpha = alpha_ref[:].astype(jnp.float32)
         y = jnp.where(z >= 0, z, alpha * z)
         out_ref[:] = y.astype(out_dtype)
@@ -145,7 +147,7 @@ def st_conv_prelu(img, theta, kernel, bias, alpha, interpret=False):
     img (N, H, W, C) NHWC; theta (N, 2, 3) affine (y, x rows, the
     ``affine_matrix`` convention); kernel (3, 3, C, F) HWIO; bias (F,);
     alpha (1,) or (F,) PReLU slope. Returns (N, H, W, F)."""
-    out, _ = _forward(img, theta, kernel, bias, alpha, interpret)
+    out, _, _ = _forward(img, theta, kernel, bias, alpha, interpret)
     return out
 
 
@@ -162,7 +164,7 @@ def _forward(img, theta, kernel, bias, alpha, interpret):
     alpha2 = jnp.broadcast_to(alpha.reshape(1, -1).astype(jnp.float32),
                               (1, f) if alpha.size == f else (1, 1))
     img_h = img.reshape(n, h, w * c)
-    out, samp = pl.pallas_call(
+    out, samp, z = pl.pallas_call(
         _st_conv_kernel(h, w, c, f, bt, pt, halo, img.dtype),
         grid=(n // bt, p // pt),
         in_specs=[
@@ -186,89 +188,92 @@ def _forward(img, theta, kernel, bias, alpha, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, pt, c), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, pt, f), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n, p, f), img.dtype),
             jax.ShapeDtypeStruct((n, p, c), img.dtype),
+            jax.ShapeDtypeStruct((n, p, f), jnp.bfloat16),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=V4_VMEM_LIMIT),
         interpret=interpret,
     )(img_h, theta.astype(jnp.float32), e, s, kmat, bias2, alpha2)
-    return out.reshape(n, h, w, f), samp
+    return out.reshape(n, h, w, f), samp, z
 
 
-def _patches(s_flat, h, w, c):
-    """(N, H*W, C) sampled tile -> (N, H*W, 9C) zero-padded 'same' conv
-    patches, tap order = _OFFSETS (pure XLA shifts, no gathers)."""
-    n, p, _ = s_flat.shape
-    simg = s_flat.reshape(n, h, w, c)
-    cols = []
-    for dy, dx in _OFFSETS:
-        sh = jnp.roll(simg, (-dy, -dx), axis=(1, 2))
-        if dy == -1:
-            sh = jnp.concatenate([jnp.zeros_like(sh[:, :1]), sh[:, 1:]], 1)
-        elif dy == 1:
-            sh = jnp.concatenate([sh[:, :-1], jnp.zeros_like(sh[:, :1])], 1)
-        if dx == -1:
-            sh = jnp.concatenate(
-                [jnp.zeros_like(sh[:, :, :1]), sh[:, :, 1:]], 2)
-        elif dx == 1:
-            sh = jnp.concatenate(
-                [sh[:, :, :-1], jnp.zeros_like(sh[:, :, :1])], 2)
-        cols.append(sh)
-    return jnp.stack(cols, axis=3).reshape(n, p, 9 * c)
+def _shift_p(x, off, h, w):
+    """Shift (N, P, C) along the flattened row-major pixel axis by ``off``
+    pixels with zero fill — T[p] = x[p + off]. Combined with the x-edge
+    masks this realizes the 3x3 'same' zero-pad taps WITHOUT reshaping to
+    (H, W) — the p axis stays second-minor, so XLA emits sublane slices
+    instead of the lane-relayout rolls a C=3 NHWC shift costs."""
+    n, p, c = x.shape
+    if off == 0:
+        return x
+    if off > 0:
+        return jnp.concatenate(
+            [x[:, off:], jnp.zeros((n, off, c), x.dtype)], axis=1)
+    return jnp.concatenate(
+        [jnp.zeros((n, -off, c), x.dtype), x[:, :off]], axis=1)
+
+
+def _edge_masks(p, h, w, dtype):
+    """(P, 1) output-pixel masks: mL[p]=0 at x==0 (blocks dx=-1 taps),
+    mR[p]=0 at x==w-1 (blocks dx=+1)."""
+    x_pos = np.arange(p) % w
+    ml = (x_pos != 0).astype(np.float32).reshape(p, 1)
+    mr = (x_pos != w - 1).astype(np.float32).reshape(p, 1)
+    return jnp.asarray(ml, dtype), jnp.asarray(mr, dtype)
 
 
 def _vjp_fwd(img, theta, kernel, bias, alpha, interpret):
-    out, samp = _forward(img, theta, kernel, bias, alpha, interpret)
-    return out, (img, theta, kernel, bias, alpha, samp)
+    out, samp, z = _forward(img, theta, kernel, bias, alpha, interpret)
+    return out, (img, theta, kernel, bias, alpha, samp, z)
 
 
 def _vjp_bwd(interpret, res, g):
-    img, theta, kernel, bias, alpha, samp = res
+    img, theta, kernel, bias, alpha, samp, z = res
     n, h, w, c = img.shape
     f = kernel.shape[-1]
     p = h * w
     g2 = g.reshape(n, p, f).astype(jnp.float32)
-
-    # recompute pre-activation z from the saved sampled tile (cheap
-    # MXU matmul; avoids saving an (N, P, F) residual)
-    patches = _patches(samp.astype(jnp.float32), h, w, c)  # (n, p, 9c)
-    kmat = kernel.reshape(9 * c, f).astype(jnp.float32)
-    z = patches @ kmat + bias.astype(jnp.float32)
+    zf = z.astype(jnp.float32)                             # saved pre-act
 
     a = alpha.astype(jnp.float32)
     a_b = a if a.size == 1 else a.reshape(1, 1, f)
-    dz = jnp.where(z >= 0, g2, a_b * g2)                   # (n, p, f)
-    neg = jnp.where(z < 0, g2 * z, 0.0)
+    dz = jnp.where(zf >= 0, g2, a_b * g2)                  # (n, p, f)
+    neg = jnp.where(zf < 0, g2 * zf, 0.0)
     if alpha.size == 1:
         dalpha = jnp.sum(neg).reshape(alpha.shape)
     else:
         dalpha = jnp.sum(neg, axis=(0, 1)).reshape(alpha.shape)
     dbias = jnp.sum(dz, axis=(0, 1)).astype(bias.dtype)
-    dkernel = jnp.einsum("npk,npf->kf", patches, dz).reshape(
-        kernel.shape).astype(kernel.dtype)
 
-    # dS: scatter dz back through the conv taps (reverse shifts)
-    u = (dz @ kmat.T).reshape(n, h, w, 9, c)               # per-tap cotang.
-    ds = jnp.zeros((n, h, w, c), jnp.float32)
+    # conv cotangents via flattened-p shifts (no C=3 lane relayouts):
+    # dK_k = sum_p (S[p+off_k] * m_k[p])^T dz[p];  dS = sum_k
+    # shift(U_k * m_k, -off_k) with U = dz @ K^T — all skinny MXU matmuls
+    kmat = kernel.reshape(9 * c, f).astype(jnp.float32)
+    ml, mr = _edge_masks(p, h, w, jnp.float32)
+    s32 = samp.astype(jnp.float32)                         # (n, p, c)
+    u = dz @ kmat.T                                        # (n, p, 9c)
+    dk_rows = []
+    ds = jnp.zeros((n, p, c), jnp.float32)
     for k, (dy, dx) in enumerate(_OFFSETS):
-        uk = u[:, :, :, k]
-        # contribution of output (y, x) flows to source (y+dy, x+dx)
-        uk = jnp.roll(uk, (dy, dx), axis=(1, 2))
-        if dy == 1:
-            uk = jnp.concatenate([jnp.zeros_like(uk[:, :1]), uk[:, 1:]], 1)
-        elif dy == -1:
-            uk = jnp.concatenate([uk[:, :-1], jnp.zeros_like(uk[:, :1])], 1)
-        if dx == 1:
-            uk = jnp.concatenate(
-                [jnp.zeros_like(uk[:, :, :1]), uk[:, :, 1:]], 2)
-        elif dx == -1:
-            uk = jnp.concatenate(
-                [uk[:, :, :-1], jnp.zeros_like(uk[:, :, :1])], 2)
-        ds = ds + uk
+        off = dy * w + dx
+        mask = ml if dx == -1 else (mr if dx == 1 else None)
+        s_shift = _shift_p(s32, off, h, w)                 # S[p + off]
+        u_k = u[:, :, k * c:(k + 1) * c]
+        if mask is not None:
+            s_shift = s_shift * mask
+            u_k = u_k * mask
+        dk_rows.append(jnp.einsum("npc,npf->cf", s_shift, dz))
+        ds = ds + _shift_p(u_k, -off, h, w)
+    dkernel = jnp.concatenate(dk_rows, axis=0).reshape(
+        kernel.shape).astype(kernel.dtype)
+    ds = ds.reshape(n, h, w, c)
 
     # (d_img, dtheta) through the v4 sampler VJP + the grid einsum
     from catgen.kernels.pallas_bilinear_v4 import bilinear_sample_rows

@@ -96,6 +96,10 @@ def run_config(out_root, cfg, shared_vdir, v_ckpt, args):
         train_args.append("--augment")
     rc = run_cmd(module_cmd("catgen.cli.train", *train_args), log)
     result["train_sec"] = round(time.time() - t0, 1)
+    # one-command run report beside every outcome (tools/report.py)
+    report = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "report.py")
+    run_cmd([sys.executable, report, rdir], log)
 
     if rc == 42:
         rep = json.load(open(os.path.join(rdir, "collapse.json")))
