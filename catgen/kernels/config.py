@@ -52,9 +52,12 @@ smallcin_impl = os.environ.get("CATGEN_SMALLCIN_IMPL", "auto")
 joint_loc = os.environ.get("CATGEN_JOINT_LOC", "1") == "1"
 # D's [input ST -> conv3x3 -> PReLU] prefix: "fused" = one Pallas pass
 # (in-kernel affine grid + sampling + conv epilogue,
-# kernels/pallas_st_conv.py — removes the C=3 conv's XLA layout copies),
-# "split" = the reference Sequential composition. "auto" resolves to
-# fused on TPU.
+# kernels/pallas_st_conv.py), "split" = the reference Sequential
+# composition. Measured at bs=512 (full step, tools/perf_probe.py):
+# split 35.9-37.2 ms, fused 45.7 (XLA-roll bwd) / 80.5 (p-shift bwd) —
+# the fusion LOSES end-to-end despite removing the C=3 layout copies;
+# "auto" therefore resolves to split. The kernel stays selectable and
+# equality-tested (KERNELS.md §2b for the full account).
 st_conv_impl = os.environ.get("CATGEN_ST_CONV", "auto")
 st_conv_interpret = False    # tests: run the fused kernel interpreted
 
@@ -62,7 +65,7 @@ st_conv_interpret = False    # tests: run the fused kernel interpreted
 def resolve_st_conv_impl() -> str:
     if st_conv_impl != "auto":
         return st_conv_impl
-    return "fused" if _on_tpu() else "split"
+    return "split"
 
 
 def resolve_smallcin_impl() -> str:

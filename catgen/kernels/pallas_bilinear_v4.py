@@ -366,10 +366,11 @@ _DENSE_MAX_HW = 256
 # the 16x16x64 branch ST — the dense mask VPU cost is still cheaper than
 # the separable path's K=16 lane expansions. Knob kept for re-measuring.
 _DENSE_MAX_HW_BWD = int(os.environ.get("CATGEN_V4_DENSE_BWD_HW", "256"))
-# dense-mask construction: "vpu" = O(P*HW) iota compares (the original),
-# "mxu" = per-axis masks + one-hot expander matmuls (attacks the sampler
-# VPU mask floor, KERNELS.md §5)
-_DENSE_MASK_IMPL = os.environ.get("CATGEN_V4_DENSE_MASK", "vpu")
+# dense-mask construction: "mxu" (default) = per-axis masks + one-hot
+# expander matmuls, "vpu" = O(P*HW) iota compares (the round-2 original).
+# Measured at bs=512 (full step): mxu 35.9 ms vs vpu 37.2 — the expander
+# matmuls beat the dense iota-compare floor (KERNELS.md §5).
+_DENSE_MASK_IMPL = os.environ.get("CATGEN_V4_DENSE_MASK", "mxu")
 
 
 # Per-kernel scoped-VMEM ceiling. The Mosaic default is 16 MB but v5e has
