@@ -240,19 +240,66 @@ class GanHarness:
                                         summary["loss_g"])
         return summary
 
+    def _viz_fn(self):
+        """One jitted program for ALL the viz device work (G samples, D
+        ranking, RGB conversions, sanity probes, V ratings) fetched with a
+        single device->host transfer — the previous one-op-at-a-time
+        formulation paid ~10 tunnel round trips per viz, costing ~10x the
+        training epoch it decorates (KERNELS.md "Timing honesty")."""
+        if getattr(self, "_viz_jit", None) is not None:
+            return self._viz_jit
+        g, d, v = self.g, self.d, self.v
+        colorspace = self.hc.colorspace
+        normalize = self.hc.normalize
+
+        def fn(g_params, g_state, d_params, d_state, v_vars, noise, reals):
+            imgs, _ = g.apply({"params": g_params, "state": g_state},
+                              noise, train=False)
+            scores, _ = d.apply({"params": d_params, "state": d_state},
+                                imgs, train=False)
+            order = jnp.argsort(-scores[:, 0])
+            rgb = colorlib.colorspace_to_rgb(imgs, colorspace)
+            disp = colorlib.denormalize(reals) if normalize else reals
+            rgb_reals = colorlib.colorspace_to_rgb(disp, colorspace)
+            # sanity probes in-graph (nn_utils.lua:136-160): diagonal
+            # pattern D should dislike + the first real it should like
+            h, wd = reals.shape[1], reals.shape[2]
+            pat = ((jnp.arange(h)[:, None] + jnp.arange(wd)[None, :])
+                   % 4 < 2).astype(imgs.dtype)
+            pat = jnp.broadcast_to(pat[..., None], reals.shape[1:])
+            probes = jnp.stack([pat, reals[0].astype(imgs.dtype)])
+            pscores, _ = d.apply({"params": d_params, "state": d_state},
+                                 probes, train=False)
+            out = {"imgs": imgs, "order": order, "rgb": rgb,
+                   "rgb_reals": rgb_reals, "probe_scores": pscores[:, 0]}
+            if v is not None:
+                sel = jnp.concatenate([imgs, imgs[order[:50]],
+                                       imgs[order[-50:]]])
+                vout, _ = v.apply(v_vars, sel, train=False)
+                p = vout[:, 1]
+                n = imgs.shape[0]
+                out["v3"] = jnp.stack([jnp.mean(p[:n]),
+                                       jnp.mean(p[n:n + 50]),
+                                       jnp.mean(p[n + 50:])])
+            return out
+
+        self._viz_jit = jax.jit(fn)
+        return self._viz_jit
+
     def visualize(self):
         """Per-epoch artifacts (nn_utils.visualizeProgress,
         nn_utils.lua:130-186): 100 fixed-noise samples, D-ranked good/bad
-        grids, sanity probes, NaN check, V rating."""
+        grids, sanity probes, NaN check, V rating — one compiled call,
+        one fetch."""
         epoch = int(self.state.epoch)
-        imgs = gan.generate(self.g, self.state, self.vis_noise)
-        arr = np.asarray(imgs)
-        if not np.isfinite(arr).all():
+        reals_dev = self.dataset.load_random_images(16)
+        res = jax.device_get(self._viz_fn()(
+            self.state.g_params, self.state.g_state,
+            self.state.d_params, self.state.d_state,
+            self.v_vars, self.vis_noise, reals_dev))
+        if not np.isfinite(res["imgs"]).all():
             self.logger.log("nan_detected", epoch=epoch)
-        order, scores = rank_by_d(self.d, self.state, imgs)
-        order = np.asarray(order)
-        rgb = np.asarray(colorlib.colorspace_to_rgb(imgs,
-                                                    self.hc.colorspace))
+        order, rgb = res["order"], res["rgb"]
         base = self.hc.save_dir
         save_grid(os.path.join(base, "images", f"epoch_{epoch:06d}.png"),
                   rgb, epoch=epoch)
@@ -262,34 +309,20 @@ class GanHarness:
                   rgb[order[-50:]], epoch=epoch)
         # real training images for comparison (nn_utils.lua:168-175 shows
         # an "original images" window beside the generated ones)
-        reals = np.asarray(self.dataset.load_random_images(16))
-        disp_reals = (np.asarray(colorlib.denormalize(jnp.asarray(reals)))
-                      if self.hc.normalize else reals)
         save_grid(os.path.join(base, "images_real", f"epoch_{epoch:06d}.png"),
-                  np.asarray(colorlib.colorspace_to_rgb(
-                      jnp.asarray(disp_reals), self.hc.colorspace)),
-                  epoch=epoch)
-        # sanity probes: D should dislike the diagonal pattern and like a
-        # real face (nn_utils.lua:136-160)
-        real = reals[0]
-        probes = sanity_probe_images(real)
-        probe_scores = np.asarray(
-            gan.discriminate(self.d, self.state, jnp.asarray(probes)))
+                  res["rgb_reals"], epoch=epoch)
         # collapse-signal stats over the fixed-noise sample batch
         # (eval/collapse.py calibration; rgb is display-space [0,1])
         from catgen.eval.collapse import per_pixel_std, sat_fraction
         fields = {"epoch": epoch,
-                  "d_probe_pattern": float(probe_scores[0]),
-                  "d_probe_real": float(probe_scores[1]),
+                  "d_probe_pattern": float(res["probe_scores"][0]),
+                  "d_probe_real": float(res["probe_scores"][1]),
                   "sample_sat": sat_fraction(rgb),
                   "sample_std": per_pixel_std(rgb)}
         if self.v is not None:
-            fields["v_rating_all"] = float(
-                v_trainer.rate_with_v(self.v, self.v_vars, imgs))
-            fields["v_rating_good"] = float(v_trainer.rate_with_v(
-                self.v, self.v_vars, imgs[jnp.asarray(order[:50])]))
-            fields["v_rating_bad"] = float(v_trainer.rate_with_v(
-                self.v, self.v_vars, imgs[jnp.asarray(order[-50:])]))
+            fields["v_rating_all"] = float(res["v3"][0])
+            fields["v_rating_good"] = float(res["v3"][1])
+            fields["v_rating_bad"] = float(res["v3"][2])
             self.plot_data.append([epoch, fields["v_rating_all"],
                                    fields["v_rating_good"],
                                    fields["v_rating_bad"]])
@@ -304,7 +337,7 @@ class GanHarness:
             d_vars = {"params": self.state.d_params,
                       "state": self.state.d_state}
             save_activation_grids(
-                self.d, d_vars, imgs[:1],
+                self.d, d_vars, jnp.asarray(res["imgs"][:1]),
                 os.path.join(base, "activations", f"epoch_{epoch:06d}"))
 
     def train(self, epochs: Optional[int] = None,

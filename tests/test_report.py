@@ -1,0 +1,106 @@
+"""tools/report.py — the one-command run report (display-server plot
+parity, nn_utils.lua:168-182): renders a run dir's JSONL into one
+self-contained HTML with charts, collapse banner, and grids."""
+
+import importlib.util
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+_spec = importlib.util.spec_from_file_location(
+    "report", os.path.join(os.path.dirname(__file__), "..", "tools",
+                           "report.py"))
+report = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(report)
+
+
+def _write_run(d, collapsed=False, epochs=200):
+    os.makedirs(os.path.join(d, "images"), exist_ok=True)
+    rng = np.random.RandomState(0)
+    with open(os.path.join(d, "train_metrics.jsonl"), "w") as f:
+        f.write(json.dumps({"event": "setup", "g_params": 5191687,
+                            "d_params": 6664777}) + "\n")
+        for e in range(1, epochs + 1):
+            bad = collapsed and e >= 100
+            f.write(json.dumps({
+                "event": "epoch", "epoch": e,
+                "loss_d": 0.0 if bad else 0.5 + 0.1 * rng.rand(),
+                "loss_g": 16.1 if bad else 1.0 + rng.rand(),
+                "acc_d": 1.0 if bad else 0.8,
+                "d_trained_frac": 1.0,
+                "imgs_per_sec": 1500.0}) + "\n")
+            if e % 5 == 0:
+                f.write(json.dumps({
+                    "event": "viz", "epoch": e,
+                    "d_probe_pattern": 1.0 if bad else 0.2,
+                    "d_probe_real": 1.0,
+                    "sample_sat": 0.48 if bad else 0.01,
+                    "sample_std": 0.16,
+                    "v_rating_all": 0.9, "v_rating_good": 0.95,
+                    "v_rating_bad": 0.85}) + "\n")
+    for e in (5, 100, epochs):
+        img = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+        Image.fromarray(img).save(
+            os.path.join(d, "images", f"epoch_{e:06d}.png"))
+
+
+@pytest.mark.parametrize("collapsed", [False, True])
+def test_report_renders(tmp_path, collapsed):
+    d = str(tmp_path / ("bad" if collapsed else "good"))
+    _write_run(d, collapsed=collapsed)
+    out = str(tmp_path / "report.html")
+    report.main([d, "-o", out])
+    html = open(out).read()
+    assert html.count('class="chart"') >= 5
+    assert "<polyline" in html and "data:image/png;base64," in html
+    assert "V rating" in html
+    if collapsed:
+        # probe_pinned fires first in this stream (viz at ep 100/105/110
+        # vs d_runaway's 15-epoch persistence)
+        assert "collapse detected: probe_pinned" in html
+    else:
+        assert "no collapse signature" in html
+
+
+def test_report_quality_table(tmp_path):
+    d = str(tmp_path / "q")
+    _write_run(d)
+    q = {"d_scores_generated": {"mean": 0.3,
+                                "percentiles": {"50": 0.29}},
+         "d_scores_real": {"mean": 0.7, "percentiles": {"50": 0.75}},
+         "d_fooled_fraction": 0.16,
+         "nn_l2": {"mean": 5.5, "percentiles": {"5": 4.0, "95": 7.4}},
+         "nn_copy_fraction": 0.0,
+         "diversity": {"mean_pairwise_l2": 12.8,
+                       "mean_per_pixel_std": 0.162},
+         "v_rating": {"all": 0.99, "best50_by_d": 1.0}}
+    with open(os.path.join(d, "quality_report.json"), "w") as f:
+        json.dump(q, f)
+    html = report.build_report(d)
+    assert "Quality report" in html
+    assert "NN copy fraction" in html
+
+
+def test_sweep_table_markdown():
+    _spec2 = importlib.util.spec_from_file_location(
+        "seed_sweep", os.path.join(os.path.dirname(__file__), "..",
+                                   "tools", "seed_sweep.py"))
+    sweep = importlib.util.module_from_spec(_spec2)
+    _spec2.loader.exec_module(sweep)
+    rows = sweep.table([
+        {"name": "ma0.9_s1", "maxacc": "0.9", "seed": 1,
+         "outcome": "collapsed", "reason": "d_runaway",
+         "fired_epoch": 120, "train_sec": 200.0},
+        {"name": "ma0.9_s2", "maxacc": "0.9", "seed": 2,
+         "outcome": "completed", "train_sec": 900.0,
+         "quality": {"per_pixel_std": 0.16, "d_gen_mean": 0.33}},
+        {"name": "ma0.8_s1", "maxacc": "0.8", "seed": 1,
+         "outcome": "error", "stage": "train", "rc": 1},
+    ])
+    assert "d_runaway @ep120" in rows
+    assert "std=0.160" in rows
+    assert "train rc=1" in rows
