@@ -25,9 +25,8 @@ from catgen.core.module import param_count
 from catgen.data import color as colorlib
 from catgen.data.loader import ImageDataset
 from catgen.io import checkpoint as ckpt
-from catgen.io.grids import save_grid, sanity_probe_images
+from catgen.io.grids import save_grid
 from catgen.io.metrics import MetricsLogger, confusion_summary
-from catgen.sample import rank_by_d
 from catgen.train import gan, pretrainer, synthetic, v_trainer
 
 
