@@ -152,7 +152,7 @@ class GanHarness:
         self.v_vars, _ = ckpt.load(path, variables)
         self.logger.log("v_loaded", path=path)
 
-    def save(self):
+    def save(self, path: Optional[str] = None):
         # normalize_mean/std checkpoint fields (train.lua:260): the active
         # reference path is a fixed [0,1]->[-1,1] remap whose
         # nn_utils.normalize returns the 0.5/0.5 dummy pair
@@ -165,8 +165,9 @@ class GanHarness:
                 "gan_config": {k: v for k, v in
                                dataclasses.asdict(self.gc).items()
                                if not callable(v) and k != "compute_dtype"}}
-        ckpt.save(self._ckpt_path(), self.state, meta)
-        self.logger.log("checkpoint_saved", path=self._ckpt_path(),
+        path = path or self._ckpt_path()
+        ckpt.save(path, self.state, meta)
+        self.logger.log("checkpoint_saved", path=path,
                         epoch=int(self.state.epoch))
 
     def resume(self, path: Optional[str] = None,
@@ -365,7 +366,11 @@ class GanHarness:
             done += 1
             if int(self.state.epoch) % self.hc.save_freq == 0:
                 self.save()
-        self.save()
+        # final save — unless the loop's cadence save just wrote this
+        # exact state (a duplicate would rotate the real previous
+        # snapshot out of adversarial.ckpt.old)
+        if done == 0 or int(self.state.epoch) % self.hc.save_freq != 0:
+            self.save()
         return "completed"
 
     def _abort_collapsed(self) -> str:
@@ -381,7 +386,10 @@ class GanHarness:
             k: report[k] for k in ("reason", "fired_epoch")})
         print(f"[collapse] {report['reason']} fired at epoch "
               f"{report['fired_epoch']} — stopping (verdict in {path})")
-        self.save()
+        # the degenerate state goes to its own file: rotating it into
+        # adversarial.ckpt would destroy the last healthy snapshot, which
+        # tools/rescue.py needs to resume past the collapse
+        self.save(os.path.join(self.hc.save_dir, "adversarial_collapsed.ckpt"))
         return "collapsed"
 
 

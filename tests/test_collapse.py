@@ -139,4 +139,7 @@ def test_harness_aborts_on_collapse(tmp_path):
     assert status == "collapsed"
     rep = json.load(open(os.path.join(save, "collapse.json")))
     assert rep["reason"] == "d_runaway"
-    assert os.path.exists(os.path.join(save, "adversarial.ckpt"))
+    # the degenerate state goes to its own file so the adversarial.ckpt
+    # rotation chain keeps the last healthy snapshot for tools/rescue.py
+    assert os.path.exists(os.path.join(save, "adversarial_collapsed.ckpt"))
+    assert not os.path.exists(os.path.join(save, "adversarial.ckpt"))

@@ -1,0 +1,114 @@
+"""tools/rescue.py: resume a collapsed run from its last healthy
+checkpoint under a perturbed seed (the restart automation around the
+collapse detector; reference workflow was manual re-runs,
+/root/reference/README.md:32-60)."""
+
+import importlib.util
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+_spec = importlib.util.spec_from_file_location(
+    "rescue", os.path.join(os.path.dirname(__file__), "..",
+                           "tools", "rescue.py"))
+rescue = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(rescue)
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+
+
+def _tiny_run(tmp_path, epochs=2):
+    """Real tiny GAN run with per-epoch checkpoints."""
+    from catgen.data.fixture import write_fixture_dataset
+    from catgen.data.loader import ImageDataset
+    from catgen.train import gan
+    from catgen.train.harness import GanHarness, HarnessConfig
+
+    save = str(tmp_path / "run")
+    fx = os.path.join(save, "fixture")
+    write_fixture_dataset(fx, n=8)
+    hc = HarnessConfig(save_dir=save, scale=16, n_epoch=16, epochs=epochs,
+                       save_freq=1, vis_freq=10,
+                       g_model="g16up", d_model="d16b")
+    h = GanHarness(hc, gan.GanConfig(batch_size=8),
+                   ImageDataset([fx], scale=16))
+    h.train()
+    return save
+
+
+def test_pick_source_prefers_rotation_over_collapsed(tmp_path):
+    save = _tiny_run(tmp_path)
+    ck = os.path.join(save, "adversarial.ckpt")
+    # abort-style artifacts: degenerate state in its own file
+    shutil.copy(ck, os.path.join(save, "adversarial_collapsed.ckpt"))
+    with open(os.path.join(save, "collapse.json"), "w") as f:
+        json.dump({"collapsed": True, "reason": "saturated",
+                   "fired_epoch": 4}, f)
+    src, meta = rescue.pick_source(save)
+    assert src == ck
+    assert meta["epoch"] == 3  # next-epoch pointer: 2 epochs completed
+
+
+def test_pick_source_legacy_falls_back_to_old(tmp_path):
+    """Runs from before the split abort save: adversarial.ckpt itself was
+    overwritten at the fired epoch; .old (earlier epoch) is the rescue
+    point — and if even .old post-dates the firing, refuse."""
+    save = _tiny_run(tmp_path)  # ckpt meta ep3 (2 done), .old meta ep2
+    with open(os.path.join(save, "collapse.json"), "w") as f:
+        json.dump({"collapsed": True, "reason": "probe_pinned",
+                   "fired_epoch": 3}, f)
+    src, meta = rescue.pick_source(save)
+    assert src.endswith(".old") and meta["epoch"] == 2
+
+    with open(os.path.join(save, "collapse.json"), "w") as f:
+        json.dump({"collapsed": True, "reason": "probe_pinned",
+                   "fired_epoch": 2}, f)
+    with pytest.raises(SystemExit):
+        rescue.pick_source(save)
+
+
+def test_train_cmd_reconstructs_run_config():
+    meta = {"epoch": 650,
+            "config": {"save_freq": 50, "vis_freq": 5, "scale": 32,
+                       "colorspace": "rgb", "noise_dim": 100,
+                       "n_epoch": 1000, "g_model": "default",
+                       "d_model": "default", "seed": 1,
+                       "normalize": False},
+            "gan_config": {"batch_size": 32, "d_max_acc": 0.95,
+                           "d_iterations": 1, "g_iterations": 1,
+                           "augment": True}}
+    ns = type("A", (), {"save_freq": 25, "platform": "cpu"})()
+    cmd = rescue.train_cmd(meta, "/tmp/rdir", "/tmp/src.ckpt", 1001, 100, ns)
+    s = " ".join(cmd)
+    assert "--D_maxAcc 0.95" in s and "--augment" in s
+    assert "--seed 1001" in s and "--epochs 100" in s
+    assert "--network /tmp/src.ckpt" in s and "--saveFreq 25" in s
+
+
+def test_rescue_end_to_end(tmp_path):
+    """Collapsed tiny run -> rescue resumes from the healthy rotation
+    save and completes the remaining epochs in a rescue dir."""
+    save = _tiny_run(tmp_path)
+    ck = os.path.join(save, "adversarial.ckpt")
+    shutil.copy(ck, os.path.join(save, "adversarial_collapsed.ckpt"))
+    with open(os.path.join(save, "collapse.json"), "w") as f:
+        json.dump({"collapsed": True, "reason": "saturated",
+                   "fired_epoch": 3}, f)
+    rc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "rescue.py"), save,
+         "--to-epoch", "4", "--attempts", "1", "--platform", "cpu"],
+        capture_output=True, text=True, timeout=600)
+    assert rc.returncode == 0, rc.stdout + rc.stderr
+    res = json.load(open(os.path.join(save, "rescue_result.json")))
+    assert res["attempts"][0]["outcome"] == "completed"
+    rdir = [d for d in os.listdir(save) if d.startswith("rescue_s")][0]
+    rck = os.path.join(save, rdir, "adversarial.ckpt")
+    from catgen.io import checkpoint as ckpt
+    # source had 2 done (meta ep3); --to-epoch 4 -> 2 more -> meta ep5
+    assert ckpt.load_meta(rck)["epoch"] == 5
+    # fresh continuation: rescue seed = original + 1000
+    assert ckpt.load_meta(rck)["config"]["seed"] == 1001

@@ -1,0 +1,204 @@
+"""Resume a collapsed GAN run from its last healthy checkpoint.
+
+Round-2/3 finding (QUALITY.md): long adversarial runs on the fixture
+corpus collapse stochastically — but a collapse is an *event* on the
+trajectory, not a property of the seed: the run was typically healthy 50
+epochs earlier (the detector's epoch-500 grids show diverse cat faces for
+runs that die at 650). This tool operationalizes restarts around that:
+
+1. pick the last checkpoint saved BEFORE the collapse detector fired
+   (``adversarial.ckpt`` — the abort path writes its degenerate state to
+   ``adversarial_collapsed.ckpt`` so the rotation chain stays healthy);
+2. resume it under a perturbed seed — the harness derives each epoch's
+   randomness as ``fold_in(PRNGKey(seed), epoch)`` (train/harness.py), so
+   a new seed is an entirely fresh noise/data continuation from the
+   restored parameters and optimizer state;
+3. train the remaining epochs with the detector live; on another
+   collapse, retry with the next seed FROM THE FURTHEST healthy
+   checkpoint reached by any attempt (a monotone ratchet toward the
+   target epoch).
+
+This is the automation the reference's workflow lacked — its showcase
+grids were hand-picked survivors of many manual runs
+(/root/reference/README.md:32-60).
+
+    python tools/rescue.py runs/sweep3/ma0.95_s1 --to-epoch 750
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def load_meta(path):
+    from catgen.io import checkpoint as ckpt
+    return ckpt.load_meta(path)
+
+
+def pick_source(run_dir, explicit=None):
+    """Newest checkpoint that strictly predates the detector firing.
+
+    The abort path saves the degenerate state to its own file
+    (adversarial_collapsed.ckpt), so adversarial.ckpt/.old are ordinary
+    cadence saves — but the newest cadence save can still postdate the
+    collapse *onset* (e.g. a save at the exact epoch the detector fired),
+    so both are epoch-checked against collapse.json. Legacy runs whose
+    abort overwrote the rotation fail the same check and fall through to
+    .old naturally."""
+    if explicit:
+        return explicit, load_meta(explicit)
+    ck = os.path.join(run_dir, "adversarial.ckpt")
+    fired = None
+    cj = os.path.join(run_dir, "collapse.json")
+    if os.path.exists(cj):
+        fired = json.load(open(cj)).get("fired_epoch")
+    for cand in (ck, ck + ".old"):
+        if os.path.exists(cand):
+            meta = load_meta(cand)
+            if fired is not None and meta.get("epoch", 0) >= fired:
+                continue  # saved at/after the collapse — degenerate
+            return cand, meta
+    raise SystemExit(
+        f"[rescue] no pre-collapse checkpoint in {run_dir} "
+        f"(detector fired at {fired}; every snapshot post-dates it). "
+        f"Re-run with --saveFreq below the detector latency, or pass "
+        f"--from explicitly.")
+
+
+def train_cmd(meta, rescue_dir, network, seed, epochs_left, args):
+    hc = meta.get("config", {})
+    gc = meta.get("gan_config", {})
+    cmd = [sys.executable, "-m", "catgen.cli.train",
+           "--save", rescue_dir, "--network", network,
+           "--seed", str(seed), "--epochs", str(epochs_left),
+           "--collapseDetect",
+           "--saveFreq", str(args.save_freq or hc.get("save_freq", 50)),
+           "--visFreq", str(hc.get("vis_freq", 5)),
+           "--scale", str(hc.get("scale", 32)),
+           "--colorSpace", hc.get("colorspace", "rgb"),
+           "--noiseDim", str(hc.get("noise_dim", 100)),
+           "--N_epoch", str(hc.get("n_epoch", 1000)),
+           "--G", hc.get("g_model", "default"),
+           "--D", hc.get("d_model", "default"),
+           "--batchSize", str(gc.get("batch_size", 32)),
+           "--D_maxAcc", str(gc.get("d_max_acc", 1.01)),
+           "--D_iterations", str(gc.get("d_iterations", 1)),
+           "--G_iterations", str(gc.get("g_iterations", 1)),
+           "--platform", args.platform]
+    if gc.get("augment"):
+        cmd.append("--augment")
+    if hc.get("normalize"):
+        cmd.append("--normalize")
+    return cmd
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("run_dir")
+    p.add_argument("--to-epoch", type=int, default=750,
+                   help="target total epoch count (BASELINE operating "
+                        "point, reference README.md:58-60)")
+    p.add_argument("--attempts", type=int, default=3,
+                   help="max restart attempts (next seed each time)")
+    p.add_argument("--seed-base", type=int, default=0,
+                   help="first rescue seed = original + 1000 + this")
+    p.add_argument("--from", dest="from_ckpt", default="",
+                   help="explicit checkpoint to resume from")
+    p.add_argument("--save-freq", type=int, default=25,
+                   help="checkpoint cadence during rescue (denser than "
+                        "the sweep's 50 so the ratchet loses less on a "
+                        "re-collapse)")
+    p.add_argument("--platform", default="auto",
+                   choices=["auto", "cpu", "tpu"])
+    args = p.parse_args(argv)
+
+    run_dir = args.run_dir.rstrip("/")
+    src, meta = pick_source(run_dir, args.from_ckpt or None)
+    base_seed = meta.get("config", {}).get("seed", 1)
+    attempts_log = []
+
+    for i in range(args.attempts):
+        # checkpoint meta "epoch" is the harness's next-epoch pointer:
+        # epoch E in the file means E-1 epochs completed
+        completed = meta.get("epoch", 1) - 1
+        left = args.to_epoch - completed
+        if left <= 0:
+            print(f"[rescue] source already has {completed} epochs >= "
+                  f"{args.to_epoch}; nothing to do")
+            break
+        seed = base_seed + 1000 + args.seed_base + i
+        rdir = os.path.join(run_dir, f"rescue_s{seed}")
+        os.makedirs(rdir, exist_ok=True)
+        # reuse the original corpus + V rater in the rescue dir
+        fdst = os.path.join(rdir, "fixture")
+        fsrc = os.path.join(run_dir, "fixture")
+        if not os.path.isdir(fdst) and os.path.isdir(fsrc):
+            try:
+                os.symlink(os.path.abspath(fsrc), fdst)
+            except OSError:
+                shutil.copytree(fsrc, fdst)
+        for f in os.listdir(run_dir):
+            if f.startswith("v_") and f.endswith(".ckpt"):
+                dst = os.path.join(rdir, f)
+                if not os.path.exists(dst):
+                    shutil.copy(os.path.join(run_dir, f), dst)
+
+        cmd = train_cmd(meta, rdir, src, seed, left, args)
+        print(f"[rescue] attempt {i + 1}/{args.attempts}: epoch {completed} "
+              f"-> {args.to_epoch}, seed {seed}\n  {' '.join(cmd)}",
+              flush=True)
+        t0 = time.time()
+        with open(os.path.join(rdir, "rescue.log"), "a") as log:
+            rc = subprocess.run(cmd, stdout=log,
+                                stderr=subprocess.STDOUT).returncode
+        entry = {"attempt": i + 1, "seed": seed, "from_epoch": completed,
+                 "source": src, "rc": rc,
+                 "sec": round(time.time() - t0, 1)}
+        rck = os.path.join(rdir, "adversarial.ckpt")
+        if rc == 42:
+            cj = json.load(open(os.path.join(rdir, "collapse.json")))
+            entry.update(outcome="collapsed",
+                         fired_epoch=cj.get("fired_epoch"),
+                         reason=cj.get("reason"))
+            # ratchet: continue from this attempt's own healthy rotation
+            # save if it got further than the current source
+            if os.path.exists(rck):
+                m2 = load_meta(rck)
+                if m2.get("epoch", 0) > meta.get("epoch", 0):
+                    src, meta = rck, m2
+                    print(f"[rescue] ratchet: next attempt resumes from "
+                          f"epoch {m2['epoch']}")
+        elif rc == 0:
+            entry["outcome"] = "completed"
+        else:
+            entry["outcome"] = f"error rc={rc}"
+        attempts_log.append(entry)
+        with open(os.path.join(run_dir, "rescue_result.json"), "w") as f:
+            json.dump({"to_epoch": args.to_epoch,
+                       "attempts": attempts_log}, f, indent=1)
+        print(f"[rescue] attempt {i + 1}: {entry['outcome']}", flush=True)
+        if rc == 0:
+            report = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "report.py")
+            subprocess.run([sys.executable, report, rdir])
+            print(f"[rescue] SUCCESS: healthy epoch-{args.to_epoch} run in "
+                  f"{rdir}")
+            return 0
+        if rc not in (0, 42):
+            break
+    print("[rescue] no attempt reached the target epoch "
+          f"(details: {os.path.join(run_dir, 'rescue_result.json')})")
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

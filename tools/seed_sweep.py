@@ -138,6 +138,8 @@ def table(results):
     for r in results:
         if r["outcome"] == "collapsed":
             detail = f"{r['reason']} @ep{r['fired_epoch']}"
+            if r.get("rescued"):
+                detail += " → rescued"
         elif r["outcome"] == "error":
             detail = f"{r['stage']} rc={r['rc']}"
         else:
@@ -167,6 +169,10 @@ def main(argv=None):
                    choices=["auto", "cpu", "tpu"],
                    help="forwarded to every stage (cpu = smoke-test the "
                         "sweep machinery without a TPU)")
+    p.add_argument("--rescue", type=int, default=0,
+                   help="after the sweep, give each collapsed config up "
+                        "to N restart attempts from its last healthy "
+                        "checkpoint (tools/rescue.py)")
     args = p.parse_args(argv)
 
     os.makedirs(args.out, exist_ok=True)
@@ -196,10 +202,35 @@ def main(argv=None):
               f"({r.get('reason', '')} {r.get('train_sec', '')}s)",
               flush=True)
 
+    # --rescue N: collapsed configs get up to N restart attempts from
+    # their last healthy checkpoint under perturbed seeds (tools/rescue.py)
+    if args.rescue > 0:
+        rescue_tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "rescue.py")
+        for r in results:
+            if r["outcome"] != "collapsed" or "rescue" in r:
+                continue
+            rdir = os.path.join(args.out, r["name"])
+            print(f"[sweep] rescuing {r['name']}...", flush=True)
+            rc = run_cmd([sys.executable, rescue_tool, rdir,
+                          "--to-epoch", str(args.epochs),
+                          "--attempts", str(args.rescue),
+                          "--platform", args.platform], log)
+            rres = os.path.join(rdir, "rescue_result.json")
+            r["rescue"] = (json.load(open(rres)) if os.path.exists(rres)
+                           else {"rc": rc})
+            r["rescued"] = rc == 0
+            with open(results_path, "w") as f:
+                json.dump(results, f, indent=1)
+            print(f"[sweep] {r['name']}: rescue "
+                  f"{'succeeded' if rc == 0 else 'failed'}", flush=True)
+
     print("\n" + table(results))
     n_ok = sum(r["outcome"] == "completed" for r in results)
-    print(f"\n{n_ok}/{len(results)} runs completed healthy; "
-          f"table + details in {results_path}")
+    n_rescued = sum(r.get("rescued", False) for r in results)
+    print(f"\n{n_ok}/{len(results)} runs completed healthy"
+          + (f" (+{n_rescued} rescued to target)" if n_rescued else "")
+          + f"; table + details in {results_path}")
 
 
 if __name__ == "__main__":
