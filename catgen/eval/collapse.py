@@ -66,6 +66,15 @@ class CollapseConfig:
     probe_pin: float = 0.98    # both probes > pin or both < 1-pin
     sat_threshold: float = 0.25
     std_floor: float = 0.03    # flat/black collapse
+    # blob-collapse detector: generated samples stay FAR from the training
+    # manifold. nn_l2_ratio = mean NN-L2(samples -> corpus) / corpus
+    # leave-one-out self-NN mean. Round-3 sweep calibration (display-space
+    # RGB, 1024-image corpus, self-NN 4.47): healthy runs sit at 1.18-1.25
+    # across epochs 100-500; blob/degenerate regimes measure 1.6-5.1
+    # (ma0.9_s*/ma1.01_s* grids), the one ambiguous early sample 1.30.
+    # Probes/saturation/std all missed this regime for 100+ epochs.
+    nn_ratio_hi: float = 1.45
+    nn_min_epoch: int = 120    # early training is legitimately far
 
 
 class CollapseDetector:
@@ -75,7 +84,7 @@ class CollapseDetector:
     def __init__(self, config: Optional[CollapseConfig] = None):
         self.cfg = config or CollapseConfig()
         self._runs = {"d_runaway": 0, "probe_pinned": 0,
-                      "saturated": 0, "flat": 0}
+                      "saturated": 0, "flat": 0, "far_from_data": 0}
         self.verdict: Optional[str] = None
         self.fired_epoch: Optional[int] = None
         self.history: List[Dict[str, Any]] = []
@@ -94,11 +103,13 @@ class CollapseDetector:
 
     def observe_viz(self, epoch: int, probe_pattern: float,
                     probe_real: float, sample_sat: float,
-                    sample_std: float):
+                    sample_std: float,
+                    nn_ratio: Optional[float] = None):
         self.history.append({"epoch": epoch, "probe_pattern": probe_pattern,
                              "probe_real": probe_real,
                              "sample_sat": sample_sat,
-                             "sample_std": sample_std})
+                             "sample_std": sample_std,
+                             "nn_ratio": nn_ratio})
         if epoch < self.cfg.min_epoch:
             return
         p = self.cfg.probe_pin
@@ -109,6 +120,9 @@ class CollapseDetector:
                   self.cfg.k_viz, epoch)
         self._hit("flat", sample_std < self.cfg.std_floor,
                   self.cfg.k_viz, epoch)
+        if nn_ratio is not None and epoch >= self.cfg.nn_min_epoch:
+            self._hit("far_from_data", nn_ratio > self.cfg.nn_ratio_hi,
+                      self.cfg.k_viz, epoch)
 
     def report(self) -> Dict[str, Any]:
         return {"collapsed": self.verdict is not None,
@@ -137,5 +151,6 @@ def scan_metrics(jsonl_path: str,
                                 ev.get("d_probe_pattern", 0.5),
                                 ev.get("d_probe_real", 0.5),
                                 ev.get("sample_sat", 0.0),
-                                ev.get("sample_std", 0.15))
+                                ev.get("sample_std", 0.15),
+                                ev.get("nn_l2_ratio"))
     return det.report()

@@ -252,7 +252,8 @@ class GanHarness:
         colorspace = self.hc.colorspace
         normalize = self.hc.normalize
 
-        def fn(g_params, g_state, d_params, d_state, v_vars, noise, reals):
+        def fn(g_params, g_state, d_params, d_state, v_vars, noise, reals,
+               corpus):
             imgs, _ = g.apply({"params": g_params, "state": g_state},
                               noise, train=False)
             scores, _ = d.apply({"params": d_params, "state": d_state},
@@ -272,6 +273,16 @@ class GanHarness:
                                  probes, train=False)
             out = {"imgs": imgs, "order": order, "rgb": rgb,
                    "rgb_reals": rgb_reals, "probe_scores": pscores[:, 0]}
+            # blob-collapse signal: mean NN distance of the samples to the
+            # training manifold, in display space (eval/collapse.py
+            # far_from_data; probes/saturation miss the blob regime)
+            cdisp = colorlib.denormalize(corpus) if normalize else corpus
+            crgb = colorlib.colorspace_to_rgb(cdisp, colorspace)
+            s = rgb.reshape(rgb.shape[0], -1).astype(jnp.float32)
+            c = crgb.reshape(crgb.shape[0], -1).astype(jnp.float32)
+            d2 = ((s * s).sum(1)[:, None] + (c * c).sum(1)[None, :]
+                  - 2.0 * s @ c.T)
+            out["nn_l2"] = jnp.sqrt(jnp.maximum(d2, 0.0)).min(1).mean()
             if v is not None:
                 sel = jnp.concatenate([imgs, imgs[order[:50]],
                                        imgs[order[-50:]]])
@@ -293,10 +304,26 @@ class GanHarness:
         one fetch."""
         epoch = int(self.state.epoch)
         reals_dev = self.dataset.load_random_images(16)
+        if getattr(self, "_viz_corpus", None) is None:
+            # fixed reference slice of the corpus for the NN-distance
+            # signal + its leave-one-out self-NN normalizer (one-time)
+            k = min(512, len(self.dataset))
+            self._viz_corpus = self.dataset.load_images(0, k)
+            self._nn_baseline = None
+            if k >= 2:
+                disp = (colorlib.denormalize(self._viz_corpus)
+                        if self.hc.normalize else self._viz_corpus)
+                crgb = colorlib.colorspace_to_rgb(disp, self.hc.colorspace)
+                c = jnp.reshape(crgb, (k, -1)).astype(jnp.float32)
+                d2 = ((c * c).sum(1)[:, None] + (c * c).sum(1)[None, :]
+                      - 2.0 * c @ c.T)
+                d2 = d2 + jnp.diag(jnp.full((k,), jnp.inf))
+                self._nn_baseline = float(
+                    jnp.sqrt(jnp.maximum(d2, 0.0)).min(1).mean())
         res = jax.device_get(self._viz_fn()(
             self.state.g_params, self.state.g_state,
             self.state.d_params, self.state.d_state,
-            self.v_vars, self.vis_noise, reals_dev))
+            self.v_vars, self.vis_noise, reals_dev, self._viz_corpus))
         if not np.isfinite(res["imgs"]).all():
             self.logger.log("nan_detected", epoch=epoch)
         order, rgb = res["order"], res["rgb"]
@@ -319,6 +346,9 @@ class GanHarness:
                   "d_probe_real": float(res["probe_scores"][1]),
                   "sample_sat": sat_fraction(rgb),
                   "sample_std": per_pixel_std(rgb)}
+        if self._nn_baseline:
+            fields["nn_l2"] = float(res["nn_l2"])
+            fields["nn_l2_ratio"] = fields["nn_l2"] / self._nn_baseline
         if self.v is not None:
             fields["v_rating_all"] = float(res["v3"][0])
             fields["v_rating_good"] = float(res["v3"][1])
@@ -331,7 +361,8 @@ class GanHarness:
             self.collapse.observe_viz(epoch, fields["d_probe_pattern"],
                                       fields["d_probe_real"],
                                       fields["sample_sat"],
-                                      fields["sample_std"])
+                                      fields["sample_std"],
+                                      fields.get("nn_l2_ratio"))
         if self.hc.weights_vis_freq and                 epoch % self.hc.weights_vis_freq == 0:
             from catgen.io.activations import save_activation_grids
             d_vars = {"params": self.state.d_params,

@@ -143,3 +143,49 @@ def test_harness_aborts_on_collapse(tmp_path):
     # rotation chain keeps the last healthy snapshot for tools/rescue.py
     assert os.path.exists(os.path.join(save, "adversarial_collapsed.ckpt"))
     assert not os.path.exists(os.path.join(save, "adversarial.ckpt"))
+
+
+def test_far_from_data_fires_on_blob_regime():
+    """Round-3 sweep: blob collapse keeps probes/sat/std in-range for
+    100+ epochs but nn_l2_ratio sits at 1.6+ (healthy: 1.18-1.25)."""
+    det = collapse.CollapseDetector()
+    for e in range(5, 400, 5):
+        det.observe_viz(e, 0.3, 0.9, 0.02, 0.10, nn_ratio=1.7)
+        if det.verdict:
+            break
+    assert det.verdict == "far_from_data"
+    # warmup + persistence: earliest possible = nn_min_epoch + 2 hits
+    assert det.fired_epoch == det.cfg.nn_min_epoch + 2 * 5
+
+
+def test_far_from_data_healthy_and_warmup():
+    det = collapse.CollapseDetector()
+    # far during warmup only (early training is legitimately far)
+    for e in range(5, 120, 5):
+        det.observe_viz(e, 0.3, 0.9, 0.02, 0.16, nn_ratio=2.5)
+    # then healthy ratios forever
+    for e in range(120, 800, 5):
+        det.observe_viz(e, 0.3, 0.9, 0.02, 0.16, nn_ratio=1.22)
+    assert det.verdict is None
+    # omitted ratio (old trails) is a no-op for this rule
+    det2 = collapse.CollapseDetector()
+    for e in range(5, 800, 5):
+        det2.observe_viz(e, 0.3, 0.9, 0.02, 0.16, nn_ratio=None)
+    assert det2.verdict is None
+
+
+def test_scan_metrics_reads_nn_ratio(tmp_path):
+    p = str(tmp_path / "blob.jsonl")
+    with open(p, "w") as f:
+        for e in range(1, 300):
+            f.write(json.dumps({"event": "epoch", "epoch": e,
+                                "acc_d": 0.8, "loss_g": 1.0}) + "\n")
+            if e % 5 == 0:
+                f.write(json.dumps({"event": "viz", "epoch": e,
+                                    "d_probe_pattern": 0.3,
+                                    "d_probe_real": 0.9,
+                                    "sample_sat": 0.02,
+                                    "sample_std": 0.10,
+                                    "nn_l2_ratio": 1.8}) + "\n")
+    rep = collapse.scan_metrics(p)
+    assert rep["collapsed"] and rep["reason"] == "far_from_data"

@@ -305,6 +305,12 @@ def build_report(run_dir: str) -> str:
                   "y": _col(viz, "sample_sat")},
                  {"name": "per-pixel std (healthy ~0.15)",
                   "y": _col(viz, "sample_std")}]))
+        if any(v.get("nn_l2_ratio") is not None for v in viz):
+            charts.append(line_chart(
+                "NN distance to corpus / corpus self-NN "
+                "(healthy ~1.2, blob regime >1.45)", xv,
+                [{"name": "nn_l2_ratio",
+                  "y": _col(viz, "nn_l2_ratio")}]))
 
     # collapse verdict (stored verdict wins; else retro-scan)
     banner = ""
