@@ -65,8 +65,8 @@ def main(argv=None):
         batch_size=int(gc_meta.get("batch_size", 32)),
         noise_dim=noise_dim,
         acc_window=int(gc_meta.get("acc_window", 20)))
-    template = gan.init_state(g, d, config, jax.random.PRNGKey(0),
-                              image_shape)
+    template = gan.ckpt_template(g, d, config, jax.random.PRNGKey(0),
+                                 image_shape)
     state, _ = ckpt.load(path, template)
     g_vars = {"params": state.g_params, "state": state.g_state}
     d_vars = {"params": state.d_params, "state": state.d_state}

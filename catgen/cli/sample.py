@@ -55,8 +55,8 @@ def load_gan(path: str):
                           if k in gan.GanConfig.__dataclass_fields__})
     g = models.G_REGISTRY[hc.g_model](hc.image_shape, hc.noise_dim)
     d = models.D_REGISTRY[hc.d_model](hc.image_shape)
-    template = gan.init_state(g, d, gc, jax.random.PRNGKey(0),
-                              hc.image_shape)
+    template = gan.ckpt_template(g, d, gc, jax.random.PRNGKey(0),
+                                 hc.image_shape)
     state, _ = ckpt.load(path, template)
     return g, d, state, hc
 

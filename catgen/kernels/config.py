@@ -60,6 +60,33 @@ joint_loc = os.environ.get("CATGEN_JOINT_LOC", "1") == "1"
 # equality-tested (KERNELS.md §2b for the full account).
 st_conv_impl = os.environ.get("CATGEN_ST_CONV", "auto")
 st_conv_interpret = False    # tests: run the fused kernel interpreted
+# max-pool backward for the non-overlapping (window == stride) pools:
+# "mask" = reshape + compare + multiply custom VJP (kernels/maxpool.py),
+# "sas" = XLA's select_and_scatter via the reduce_window VJP.
+maxpool_bwd = os.environ.get("CATGEN_MAXPOOL_BWD", "auto")
+# GAN optimizer pipeline representation: "flat" = clamp/L1-L2/update/apply
+# on ONE raveled vector per network (the reference's getParameters
+# flattening, train.lua:184-185), "tree" = per-leaf tree_map. Bit-identical
+# updates (tests/test_flat_opt.py); checkpoints stay per-leaf either way.
+# Measured at bs=512 (device traces, tools/profile_capture.py): tree
+# 33.38 ms/step vs flat 34.28 — the ravel/unravel concatenate+slice
+# traffic (~4x48 MB/step) costs more than the per-leaf fusion tail it
+# removes (XLA already horizontally fuses the small optimizer ops into
+# the step's gaps). Default stays tree; flat kept as the tested
+# alternative for models with far more parameter leaves.
+flat_opt = os.environ.get("CATGEN_FLAT_OPT", "auto")
+
+
+def resolve_maxpool_bwd() -> str:
+    if maxpool_bwd != "auto":
+        return maxpool_bwd
+    return "sas"
+
+
+def resolve_flat_opt() -> str:
+    if flat_opt != "auto":
+        return flat_opt
+    return "tree"
 
 
 def resolve_st_conv_impl() -> str:

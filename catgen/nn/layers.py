@@ -298,11 +298,8 @@ class MaxPool(Stateless):
         self.stride = stride or window
 
     def forward(self, x, *, train, rng):
-        return lax.reduce_window(
-            x, -jnp.inf, lax.max,
-            (1, self.window, self.window, 1),
-            (1, self.stride, self.stride, 1),
-            "VALID")
+        from catgen.kernels.maxpool import max_pool
+        return max_pool(x, self.window, self.stride)
 
     def out_shape(self, x_shape):
         n, h, w, c = x_shape

@@ -4,7 +4,11 @@ from catgen.optim.optimizers import (  # noqa: F401
     adam,
     apply_updates,
     clamp_and_penalize,
+    flat_init,
+    flat_update,
     make,
+    opt_state_to_flat,
+    opt_state_to_tree,
     rmsprop,
     sgd,
 )

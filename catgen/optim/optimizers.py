@@ -175,6 +175,77 @@ def rmsprop(lr: float = 1e-2, alpha: float = 0.99, eps: float = 1e-8) -> Optimiz
     return Optimizer(init, update)
 
 
+# ---------------------------------------------------------------------------
+# flat (raveled) pipeline — the reference's getParameters flattening
+# ---------------------------------------------------------------------------
+#
+# train.lua:184-185 flattens each network's parameters into ONE contiguous
+# vector and lets optim.* update that. The XLA-native motivation is op
+# count, not pointer aliasing: per-leaf tree_map optimizers emit ~3-6 small
+# fused ops per leaf (~70 leaves across G+D = hundreds of sub-50us kernels
+# in the step's tail), while the same math over one raveled (N,) vector is
+# a handful of full-size fusions. Checkpoints keep the per-leaf format —
+# callers convert at the save/load boundary with opt_state_to_tree/flat.
+
+
+def flat_init(opt: Optimizer, params):
+    """Optimizer state over the raveled parameter vector."""
+    from jax.flatten_util import ravel_pytree
+    return opt.init(ravel_pytree(params)[0])
+
+
+def flat_update(opt: Optimizer, grads, state, params,
+                l1: float = 0.0, l2: float = 0.0, clamp: float = 0.0):
+    """The whole reference grad pipeline + update + apply on one flat
+    vector: returns (new_params_pytree, new_opt_state). Bit-identical to
+    the per-leaf path (elementwise math, deterministic ravel order) —
+    asserted by tests/test_flat_opt.py."""
+    from jax.flatten_util import ravel_pytree
+    g, _ = ravel_pytree(grads)
+    p, unravel = ravel_pytree(params)
+    if l1:
+        g = g + l1 * jnp.sign(p)
+    if l2:
+        g = g + l2 * p
+    if clamp:
+        g = jnp.clip(g, -clamp, clamp)
+    updates, new_state = opt.update(g, state, p)
+    return unravel(p + updates), new_state
+
+
+def opt_state_to_tree(state, params):
+    """Flat optimizer state -> the per-leaf checkpoint format. Fields that
+    are 1-D arrays of the raveled parameter size unravel to the params
+    structure; everything else (step scalars, already-tree fields) passes
+    through — so the conversion is format-detecting and idempotent."""
+    from jax.flatten_util import ravel_pytree
+    flat, unravel = ravel_pytree(params)
+    n = flat.size
+
+    def conv(f):
+        if isinstance(f, (jnp.ndarray, jax.Array)) and f.ndim == 1 \
+                and f.size == n:
+            return unravel(f)
+        return f
+
+    return type(state)(*[conv(f) for f in state])
+
+
+def opt_state_to_flat(state):
+    """Per-leaf optimizer state -> flat. Fields that are param pytrees
+    (anything that isn't a bare array) ravel to one vector; scalars and
+    already-flat arrays pass through (idempotent)."""
+    import numpy as np
+    from jax.flatten_util import ravel_pytree
+
+    def conv(f):
+        if isinstance(f, (jnp.ndarray, jax.Array, np.ndarray)):
+            return f
+        return ravel_pytree(f)[0]
+
+    return type(state)(*[conv(f) for f in state])
+
+
 _FACTORIES = {"adam": adam, "adagrad": adagrad, "sgd": sgd, "rmsprop": rmsprop}
 
 

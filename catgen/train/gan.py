@@ -145,21 +145,40 @@ def uniform_noise(rng: jax.Array, n: int, noise_dim: int,
 
 def init_state(g: Module, d: Module, config: GanConfig,
                key: jax.Array, image_shape) -> TrainState:
+    from catgen.kernels import config as kconfig
+
     kg, kd = jax.random.split(key)
     g_vars = g.init(kg, (1, config.noise_dim))
     d_vars = d.init(kd, (1,) + tuple(image_shape))
     d_optim, g_optim = config.make_optimizers()
+    if kconfig.resolve_flat_opt() == "flat":
+        g_opt = optim.flat_init(g_optim, g_vars["params"])
+        d_opt = optim.flat_init(d_optim, d_vars["params"])
+    else:
+        g_opt = g_optim.init(g_vars["params"])
+        d_opt = d_optim.init(d_vars["params"])
     return TrainState(
         g_params=g_vars["params"], g_state=g_vars["state"],
         d_params=d_vars["params"], d_state=d_vars["state"],
-        g_opt=g_optim.init(g_vars["params"]),
-        d_opt=d_optim.init(d_vars["params"]),
+        g_opt=g_opt,
+        d_opt=d_opt,
         acc_buffer=jnp.zeros((config.acc_window,), jnp.float32),
         acc_count=jnp.zeros((), jnp.int32),
         acc_index=jnp.zeros((), jnp.int32),
         step=jnp.zeros((), jnp.int32),
         epoch=jnp.ones((), jnp.int32),
     )
+
+
+def ckpt_template(g: Module, d: Module, config: GanConfig,
+                  key: jax.Array, image_shape) -> TrainState:
+    """``init_state`` in the checkpoint's canonical representation —
+    optimizer state per-leaf regardless of CATGEN_FLAT_OPT (checkpoints
+    always store per-leaf; see harness.save)."""
+    st = init_state(g, d, config, key, image_shape)
+    return st._replace(
+        g_opt=optim.opt_state_to_tree(st.g_opt, st.g_params),
+        d_opt=optim.opt_state_to_tree(st.d_opt, st.d_params))
 
 
 def _select(pred, a, b):
@@ -184,9 +203,23 @@ def make_train_step(g: Module, d: Module, config: GanConfig):
             f"d_iterations/g_iterations must be >= 1 (got "
             f"{config.d_iterations}/{config.g_iterations}); the reference "
             f"always runs at least one D and one G update per batch")
+    from catgen.kernels import config as kconfig
+
     d_optim, g_optim = config.make_optimizers()
     half = config.batch_size // 2
     cdt = config.compute_dtype
+    use_flat = kconfig.resolve_flat_opt() == "flat"
+
+    def _update(opt, grads, opt_state, params, l1, l2, clamp):
+        """grad pipeline + optimizer + apply; flat (one raveled vector,
+        train.lua:184-185 getParameters semantics) or per-leaf — identical
+        updates either way (tests/test_flat_opt.py)."""
+        if use_flat:
+            return optim.flat_update(opt, grads, opt_state, params,
+                                     l1, l2, clamp)
+        grads = optim.clamp_and_penalize(grads, params, l1, l2, clamp)
+        updates, new_opt = opt.update(grads, opt_state, params)
+        return optim.apply_updates(params, updates), new_opt
 
     def _apply(module):
         def fn(variables, x, train, rng):
@@ -221,8 +254,6 @@ def make_train_step(g: Module, d: Module, config: GanConfig):
             loss_fn, has_aux=True)(state.d_params)
         if config.axis_name is not None:
             grads = lax.pmean(grads, config.axis_name)
-        grads = optim.clamp_and_penalize(
-            grads, state.d_params, config.d_l1, config.d_l2, config.d_clamp)
 
         # batch confusion / accuracy (adversarial.lua:101-106)
         pred_real = out > 0.5
@@ -243,8 +274,9 @@ def make_train_step(g: Module, d: Module, config: GanConfig):
         acc_avg = jnp.sum(buf) / count.astype(jnp.float32)
         do_train = acc_avg < config.d_max_acc
 
-        updates, new_opt = d_optim.update(grads, state.d_opt, state.d_params)
-        new_params = optim.apply_updates(state.d_params, updates)
+        new_params, new_opt = _update(
+            d_optim, grads, state.d_opt, state.d_params,
+            config.d_l1, config.d_l2, config.d_clamp)
         d_params = _select(do_train, new_params, state.d_params)
         d_opt = _select(do_train, new_opt, state.d_opt)
 
@@ -275,10 +307,9 @@ def make_train_step(g: Module, d: Module, config: GanConfig):
             loss_fn, has_aux=True)(state.g_params)
         if config.axis_name is not None:
             grads = lax.pmean(grads, config.axis_name)
-        grads = optim.clamp_and_penalize(
-            grads, state.g_params, config.g_l1, config.g_l2, config.g_clamp)
-        updates, g_opt = g_optim.update(grads, state.g_opt, state.g_params)
-        g_params = optim.apply_updates(state.g_params, updates)
+        g_params, g_opt = _update(
+            g_optim, grads, state.g_opt, state.g_params,
+            config.g_l1, config.g_l2, config.g_clamp)
         state = state._replace(g_params=g_params, g_state=g_state, g_opt=g_opt)
         return state, loss
 

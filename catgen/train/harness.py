@@ -166,9 +166,30 @@ class GanHarness:
                                dataclasses.asdict(self.gc).items()
                                if not callable(v) and k != "compute_dtype"}}
         path = path or self._ckpt_path()
-        ckpt.save(path, self.state, meta)
+        # checkpoints keep the per-leaf optimizer-state format regardless
+        # of the in-step representation (CATGEN_FLAT_OPT): flat states
+        # unravel here, so files stay interchangeable across the knob
+        ckpt.save(path, self._with_tree_opt(self.state), meta)
         self.logger.log("checkpoint_saved", path=path,
                         epoch=int(self.state.epoch))
+
+    @staticmethod
+    def _with_tree_opt(state):
+        from catgen import optim
+        return state._replace(
+            g_opt=optim.opt_state_to_tree(state.g_opt, state.g_params),
+            d_opt=optim.opt_state_to_tree(state.d_opt, state.d_params))
+
+    @staticmethod
+    def _with_runtime_opt(state):
+        """Convert per-leaf opt state to the active step representation."""
+        from catgen import optim
+        from catgen.kernels import config as kconfig
+        if kconfig.resolve_flat_opt() != "flat":
+            return state
+        return state._replace(
+            g_opt=optim.opt_state_to_flat(state.g_opt),
+            d_opt=optim.opt_state_to_flat(state.d_opt))
 
     def resume(self, path: Optional[str] = None,
                rebuild_optstate: bool = False):
@@ -182,13 +203,22 @@ class GanHarness:
         lenient = ("acc_buffer", "acc_count", "acc_index")
         if rebuild_optstate:
             lenient += ("g_opt", "d_opt")
-        restored, meta = ckpt.load(path, self.state, lenient=lenient)
+        restored, meta = ckpt.load(path, self._with_tree_opt(self.state),
+                                   lenient=lenient)
+        restored = self._with_runtime_opt(restored)
         self.plot_data = list(meta.get("plot_data", []))
         if rebuild_optstate:
+            from catgen.kernels import config as kconfig
             d_optim, g_optim = self.gc.make_optimizers()
-            restored = restored._replace(
-                g_opt=g_optim.init(restored.g_params),
-                d_opt=d_optim.init(restored.d_params))
+            if kconfig.resolve_flat_opt() == "flat":
+                from catgen import optim
+                restored = restored._replace(
+                    g_opt=optim.flat_init(g_optim, restored.g_params),
+                    d_opt=optim.flat_init(d_optim, restored.d_params))
+            else:
+                restored = restored._replace(
+                    g_opt=g_optim.init(restored.g_params),
+                    d_opt=d_optim.init(restored.d_params))
         if meta.get("_reinitialized"):
             self.logger.log("resume_reinit", leaves=meta["_reinitialized"])
         self.state = restored
