@@ -190,6 +190,84 @@ def _bwd_kernel(h: int, w: int, c: int, bt: int, pt: int):
     return kernel_fn
 
 
+def _bwd_kernel_dimg(h: int, w: int, c: int, bt: int, pt: int):
+    """d_img half of the separable backward (split formulation): the f32
+    accumulation across pixel tiles, nothing else. Split out so that
+    when the sampled image needs no gradient — the D-phase input ST
+    samples the *data* batch (models.lua:845-855 applies the ST straight
+    to the input) — the whole call is dead code and DCE removes it; the
+    monolithic kernel's second output keeps it alive."""
+    def kernel_fn(img_ref, crd_ref, g_ref, e_ref, st_ref, dimg_ref):
+        j = pl.program_id(1)
+        crd = crd_ref[:].astype(jnp.float32)
+        y0, x0, wy, wx, _, _ = _weights_rows(
+            crd[:, 0, :], crd[:, 1, :], h, w)
+
+        b_t = _mask_t(x0, wx, w, bt, pt)                 # (bt, w, pt)
+        b_exp = _expand(b_t, e_ref)                      # (bt, pt, wc)
+        g_exp = jax.lax.dot_general(                     # (bt, pt, wc)
+            g_ref[:].astype(jnp.bfloat16), st_ref[:],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        bgb = b_exp * g_exp
+
+        a_t = _mask_t(y0, wy, h, bt, pt)                 # (bt, h, pt)
+        contrib = jax.lax.dot_general(                   # (bt, h, wc) f32
+            a_t, bgb,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+
+        @pl.when(j == 0)
+        def _init():
+            dimg_ref[:] = contrib
+
+        @pl.when(j > 0)
+        def _acc():
+            dimg_ref[:] = dimg_ref[:] + contrib
+
+    return kernel_fn
+
+
+def _bwd_kernel_dcrd(h: int, w: int, c: int, bt: int, pt: int):
+    """d_coords half of the split separable backward. With the revisited
+    d_img accumulator gone, both grid dimensions are parallel (better
+    pipelining) and the f32 accumulator block drops out of the VMEM
+    working set."""
+    def kernel_fn(img_ref, crd_ref, g_ref, e_ref, st_ref, dcrd_ref):
+        crd = crd_ref[:].astype(jnp.float32)
+        y0, x0, wy, wx, in_y, in_x = _weights_rows(
+            crd[:, 0, :], crd[:, 1, :], h, w)
+
+        b_t = _mask_t(x0, wx, w, bt, pt)                 # (bt, w, pt)
+        b_exp = _expand(b_t, e_ref)                      # (bt, pt, wc)
+        g_exp = jax.lax.dot_general(                     # (bt, pt, wc)
+            g_ref[:].astype(jnp.bfloat16), st_ref[:],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        bgb = b_exp * g_exp
+
+        a_t = _mask_t(y0, wy, h, bt, pt)                 # (bt, h, pt)
+        # dfy: v_t[b, y, p] = sum_xc img[b, y, xc] * bgb[b, p, xc]
+        v_t = jax.lax.dot_general(                       # (bt, h, pt) f32
+            img_ref[:].astype(jnp.bfloat16), bgb,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        d_a = _mask_t(y0, wy, h, bt, pt, d=True).astype(jnp.float32)
+        dfy = jnp.sum(d_a * v_t, axis=1)                 # (bt, pt)
+
+        # dfx: sum_xc (dB @ E) * (t * g_exp)
+        t = _contract_t(a_t, img_ref[:])                 # (bt, pt, wc)
+        tg = t * g_exp
+        db_exp = _expand(_mask_t(x0, wx, w, bt, pt, d=True), e_ref)
+        dfx = jnp.sum((db_exp * tg).astype(jnp.float32), axis=2)
+
+        dy = dfy * in_y * (0.5 * (h - 1))
+        dx = dfx * in_x * (0.5 * (w - 1))
+        dcrd_ref[:] = jnp.stack([dy, dx], axis=1).astype(dcrd_ref.dtype)
+
+    return kernel_fn
+
+
 def _axis_expanders(h: int, w: int):
     """One-hot expanders for MXU mask building:
     Ey (h, h*w): Ey[y, y*w+x] = 1 (spread a per-y weight across its row)
@@ -317,6 +395,56 @@ def _dense_bwd_kernel(h: int, w: int, c: int, bt: int, pt: int):
     return kernel_fn
 
 
+def _dense_bwd_kernel_mxu_dimg(h: int, w: int, c: int, bt: int, pt: int):
+    """d_img half of the split dense backward (see _bwd_kernel_dimg)."""
+    def kernel_fn(img_ref, crd_ref, g_ref, ey_ref, ex_ref, dimg_ref):
+        j = pl.program_id(1)
+        crd = crd_ref[:].astype(jnp.float32)
+        y0, x0, wy, wx, _, _ = _weights_rows(
+            crd[:, 0, :], crd[:, 1, :], h, w)
+        g = g_ref[:].astype(jnp.bfloat16)
+        my, mx, _, _ = _dense_mask_parts_mxu(
+            y0, x0, wy, wx, h, w, bt, pt, ey_ref, ex_ref, derivs=False)
+        contrib = jax.lax.dot_general(
+            (my * mx).astype(jnp.bfloat16), g,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+
+        @pl.when(j == 0)
+        def _init():
+            dimg_ref[:] = contrib
+
+        @pl.when(j > 0)
+        def _acc():
+            dimg_ref[:] = dimg_ref[:] + contrib
+
+    return kernel_fn
+
+
+def _dense_bwd_kernel_mxu_dcrd(h: int, w: int, c: int, bt: int, pt: int):
+    """d_coords half of the split dense backward: no revisited f32
+    accumulator, both grid dims parallel."""
+    def kernel_fn(img_ref, crd_ref, g_ref, ey_ref, ex_ref, dcrd_ref):
+        crd = crd_ref[:].astype(jnp.float32)
+        y0, x0, wy, wx, in_y, in_x = _weights_rows(
+            crd[:, 0, :], crd[:, 1, :], h, w)
+        g = g_ref[:].astype(jnp.bfloat16)
+        my, mx, dmy, dmx = _dense_mask_parts_mxu(
+            y0, x0, wy, wx, h, w, bt, pt, ey_ref, ex_ref, derivs=True)
+        imgg = jax.lax.dot_general(
+            g, img_ref[:].astype(jnp.bfloat16),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dfy = jnp.sum(dmy * mx * imgg, axis=2)
+        dfx = jnp.sum(my * dmx * imgg, axis=2)
+
+        dy = dfy * in_y * (0.5 * (h - 1))
+        dx = dfx * in_x * (0.5 * (w - 1))
+        dcrd_ref[:] = jnp.stack([dy, dx], axis=1).astype(dcrd_ref.dtype)
+
+    return kernel_fn
+
+
 def _dense_bwd_kernel_mxu(h: int, w: int, c: int, bt: int, pt: int):
     def kernel_fn(img_ref, crd_ref, g_ref, ey_ref, ex_ref,
                   dimg_ref, dcrd_ref):
@@ -371,6 +499,13 @@ _DENSE_MAX_HW_BWD = int(os.environ.get("CATGEN_V4_DENSE_BWD_HW", "256"))
 # Measured at bs=512 (full step): mxu 35.9 ms vs vpu 37.2 — the expander
 # matmuls beat the dense iota-compare floor (KERNELS.md §5).
 _DENSE_MASK_IMPL = os.environ.get("CATGEN_V4_DENSE_MASK", "mxu")
+# separable backward as TWO pallas_calls (d_img / d_coords) instead of
+# one: when the sampled image needs no gradient — the D-phase input ST
+# samples the raw data batch — the d_img call has no consumers and DCE
+# removes it entirely (a monolithic kernel's dead output can't be
+# eliminated). Costs a duplicated mask build when BOTH cotangents are
+# live (the G phase); A/B in KERNELS.md (default set by measurement).
+_SPLIT_BWD = os.environ.get("CATGEN_V4_SPLIT_BWD", "0") == "1"
 
 
 # Per-kernel scoped-VMEM ceiling. The Mosaic default is 16 MB but v5e has
@@ -535,6 +670,37 @@ def _bwd(out_hw, interpret, res, g):
             ]
             operands += [ey, ex]
             kernel = _dense_bwd_kernel_mxu(h, w, c, bt, pt)
+            if _SPLIT_BWD:
+                dimg_f = pl.pallas_call(
+                    _dense_bwd_kernel_mxu_dimg(h, w, c, bt, pt),
+                    grid=(n // bt, p // pt),
+                    in_specs=in_specs,
+                    out_specs=pl.BlockSpec(
+                        (bt, h * w, c), lambda i, j: (i, 0, 0),
+                        memory_space=pltpu.VMEM),
+                    out_shape=jax.ShapeDtypeStruct((n, h * w, c),
+                                                   jnp.float32),
+                    compiler_params=pltpu.CompilerParams(
+                        dimension_semantics=("parallel", "arbitrary"),
+                        vmem_limit_bytes=V4_VMEM_LIMIT),
+                    interpret=interpret,
+                )(*operands)
+                dcrd = pl.pallas_call(
+                    _dense_bwd_kernel_mxu_dcrd(h, w, c, bt, pt),
+                    grid=(n // bt, p // pt),
+                    in_specs=in_specs,
+                    out_specs=pl.BlockSpec(
+                        (bt, 2, pt), lambda i, j: (i, 0, j),
+                        memory_space=pltpu.VMEM),
+                    out_shape=jax.ShapeDtypeStruct((n, 2, p),
+                                                   coords_rows.dtype),
+                    compiler_params=pltpu.CompilerParams(
+                        dimension_semantics=("parallel", "parallel"),
+                        vmem_limit_bytes=V4_VMEM_LIMIT),
+                    interpret=interpret,
+                )(*operands)
+                return (dimg_f.reshape(n, h, w, c).astype(img.dtype),
+                        dcrd)
         else:
             kernel = _dense_bwd_kernel(h, w, c, bt, pt)
         dimg_f, dcrd = pl.pallas_call(
@@ -561,6 +727,46 @@ def _bwd(out_hw, interpret, res, g):
     e, s = _expanders(w, c)
     img_h = img.reshape(n, h, w * c)
     g2 = g.reshape(n, p, c)
+    if _SPLIT_BWD:
+        in_specs = [
+            pl.BlockSpec((bt, h, w * c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 2, pt), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, pt, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, w * c), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, w * c), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands = (img_h, coords_rows, g2, e, s.T)
+        dimg_h = pl.pallas_call(
+            _bwd_kernel_dimg(h, w, c, bt, pt),
+            grid=(n // bt, p // pt),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((bt, h, w * c), lambda i, j: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n, h, w * c), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+                vmem_limit_bytes=V4_VMEM_LIMIT),
+            interpret=interpret,
+        )(*operands)
+        dcrd = pl.pallas_call(
+            _bwd_kernel_dcrd(h, w, c, bt, pt),
+            grid=(n // bt, p // pt),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((bt, 2, pt), lambda i, j: (i, 0, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n, 2, p), coords_rows.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+                vmem_limit_bytes=V4_VMEM_LIMIT),
+            interpret=interpret,
+        )(*operands)
+        dimg = dimg_h.reshape(n, h, w, c).astype(img.dtype)
+        return dimg, dcrd
     dimg_h, dcrd = pl.pallas_call(
         _bwd_kernel(h, w, c, bt, pt),
         grid=(n // bt, p // pt),

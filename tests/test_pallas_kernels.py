@@ -217,3 +217,55 @@ def test_v4_dense_mask_mxu_matches_vpu(rng, monkeypatch):
                                rtol=2e-2, atol=2e-2)
     np.testing.assert_allclose(np.asarray(dc_m), np.asarray(dc_v),
                                rtol=3e-2, atol=6e-2)
+
+
+def test_v4_split_bwd_matches_monolithic(rng, monkeypatch):
+    """CATGEN_V4_SPLIT_BWD=1 computes d_img and d_coords in two separate
+    pallas_calls (so a dead d_img — the D-phase input ST samples the data
+    batch — is DCE'd); must reproduce the monolithic separable backward
+    exactly (same ops, same order, per output)."""
+    from catgen.kernels import pallas_bilinear_v4 as v4
+
+    n, h, w, c, ho, wo = 2, 32, 32, 3, 32, 32   # h*w > dense threshold
+    img = jnp.asarray(rng.rand(n, h, w, c).astype(np.float32))
+    coords = jnp.asarray(
+        rng.uniform(-1.1, 1.1, (n, ho, wo, 2)).astype(np.float32))
+    g = jnp.asarray(rng.randn(n, ho, wo, c).astype(np.float32))
+
+    def run():
+        _, vjp = jax.vjp(lambda i, cd: bilinear_sample_tiled(i, cd, True),
+                         img, coords)
+        return vjp(g)
+
+    monkeypatch.setattr(v4, "_SPLIT_BWD", False)
+    di_m, dc_m = run()
+    monkeypatch.setattr(v4, "_SPLIT_BWD", True)
+    di_s, dc_s = run()
+    np.testing.assert_array_equal(np.asarray(di_s), np.asarray(di_m))
+    np.testing.assert_array_equal(np.asarray(dc_s), np.asarray(dc_m))
+
+
+def test_v4_split_bwd_dense_matches_monolithic(rng, monkeypatch):
+    """Split backward on the DENSE path (h*w <= 256, mxu masks): the two
+    single-output pallas_calls must reproduce the monolithic dense
+    backward exactly."""
+    from catgen.kernels import pallas_bilinear_v4 as v4
+
+    n, h, w, c, ho, wo = 2, 16, 16, 8, 24, 16   # dense path
+    img = jnp.asarray(rng.rand(n, h, w, c).astype(np.float32))
+    coords = jnp.asarray(
+        rng.uniform(-1.1, 1.1, (n, ho, wo, 2)).astype(np.float32))
+    g = jnp.asarray(rng.randn(n, ho, wo, c).astype(np.float32))
+
+    def run():
+        _, vjp = jax.vjp(lambda i, cd: bilinear_sample_tiled(i, cd, True),
+                         img, coords)
+        return vjp(g)
+
+    monkeypatch.setattr(v4, "_DENSE_MASK_IMPL", "mxu")
+    monkeypatch.setattr(v4, "_SPLIT_BWD", False)
+    di_m, dc_m = run()
+    monkeypatch.setattr(v4, "_SPLIT_BWD", True)
+    di_s, dc_s = run()
+    np.testing.assert_array_equal(np.asarray(di_s), np.asarray(di_m))
+    np.testing.assert_array_equal(np.asarray(dc_s), np.asarray(dc_m))
