@@ -49,7 +49,7 @@ def apply_platform(args):
     if getattr(args, "platform", "auto") != "auto":
         import jax
         jax.config.update("jax_platforms", args.platform)
-        if args.platform == "cpu" and args.devices > 1:
+        if args.platform == "cpu" and getattr(args, "devices", 1) > 1:
             jax.config.update("jax_num_cpu_devices", args.devices)
     if getattr(args, "coordinator", None):
         from catgen import dist

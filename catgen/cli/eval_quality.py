@@ -71,8 +71,11 @@ def main(argv=None):
     g_vars = {"params": state.g_params, "state": state.g_state}
     d_vars = {"params": state.d_params, "state": state.d_state}
 
-    # corpus at the checkpoint's scale/colorspace (NN reference set)
+    # corpus at the checkpoint's scale/colorspace/input-range (NN
+    # reference set) — a --normalize-trained D expects [-1,1] reals, so
+    # the flag is restored from the checkpoint like scale/colorspace
     args.scale, args.colorSpace = scale, colorspace
+    args.normalize = bool(hc.get("normalize", False))
     dataset = build_dataset(args)
     corpus = dataset.load_images(0, len(dataset))
 

@@ -43,6 +43,10 @@ def parse_args(argv=None):
     p.add_argument("--scale", type=int, default=32)
     p.add_argument("--colorSpace", default="rgb",
                    choices=["rgb", "yuv", "hsl", "y"])
+    p.add_argument("--platform", default="auto",
+                   choices=["auto", "cpu", "tpu"],
+                   help="force the jax platform (the pinned env platform "
+                        "otherwise wins; see cli/common.py)")
     return p.parse_args(argv)
 
 
@@ -63,6 +67,8 @@ def load_gan(path: str):
 
 def main(argv=None):
     args = parse_args(argv)
+    from catgen.cli.common import apply_platform
+    apply_platform(args)
     path = args.network or os.path.join(args.save,
                                         ckpt.adversarial_filename())
     g, d, state, hc = load_gan(path)

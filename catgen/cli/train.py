@@ -94,6 +94,7 @@ def main(argv=None):
         d_clamp=args.D_clamp, g_clamp=args.G_clamp,
         d_iterations=args.D_iterations, g_iterations=args.G_iterations,
         d_max_acc=args.D_maxAcc, augment=args.augment,
+        normalized_inputs=args.normalize,
         compute_dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32)
     dataset = build_dataset(args)
     harness = GanHarness(hc, gc, dataset)

@@ -40,6 +40,39 @@ def _flatten(tree: Any) -> Dict[str, np.ndarray]:
 
 FORMAT_VERSION = 2  # v2: adds the format_version meta field
 
+# -- legacy key migration ---------------------------------------------------
+# Round 3 wrapped the ST-D models' input prefix [SpatialTransformer, Conv,
+# PReLU] into one FusedSTConvPReLU module (models/zoo.py), which renamed
+# those three top-level layers and shifted every later top-level index down
+# by 2 (e.g. 07_FusedSTBranches -> 05_FusedSTBranches). Checkpoints written
+# before that restructure spell the same tensors under the old keys; the
+# loader transparently migrates them. The migration pass only activates
+# when the archive carries the old-format signature (a
+# '00_SpatialTransformer' key), so it can never misfire on other models.
+
+_LEGACY_PREFIX_RENAMES = (
+    ("['00_FusedSTConvPReLU']['st']", "['00_SpatialTransformer']"),
+    ("['00_FusedSTConvPReLU']['conv']", "['01_Conv']"),
+    ("['00_FusedSTConvPReLU']['act']", "['02_PReLU']"),
+)
+_LAYER_SEG = None  # compiled lazily
+
+
+def _legacy_key(key: str) -> Optional[str]:
+    """The pre-round-3 spelling of a current tree key, or None."""
+    global _LAYER_SEG
+    for new, old in _LEGACY_PREFIX_RENAMES:
+        if new in key:
+            return key.replace(new, old, 1)
+    if _LAYER_SEG is None:
+        import re
+        _LAYER_SEG = re.compile(r"\['(\d{2})_([A-Za-z0-9]+)'\]")
+    m = _LAYER_SEG.search(key)
+    if m and int(m.group(1)) >= 1:
+        shifted = f"['{int(m.group(1)) + 2:02d}_{m.group(2)}']"
+        return key[:m.start()] + shifted + key[m.end():]
+    return None
+
 
 def save(path: str, tree: Any, meta: Optional[Dict[str, Any]] = None) -> None:
     """Atomically writes leaves + metadata; keeps previous file as .old."""
@@ -75,12 +108,28 @@ def load(path: str, template: Any,
     and re-derives the rest instead of dying."""
     with np.load(path) as z:
         meta = json.loads(bytes(z["__meta__"]).decode())
+        legacy = any("00_SpatialTransformer" in k for k in z.files)
+        migrated = []
         leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(template)
         leaves = []
         reinit = []
         for p, leaf in leaves_with_path:
             key = jax.tree_util.keystr(p)
             is_lenient = any(s in key for s in lenient)
+            want = np.shape(leaf)
+            # legacy ST-D archives: the D tree's layer names were
+            # restructured in round 3, and the old spelling can COLLIDE
+            # with a current name at the same or a different shape (old
+            # 01_Conv is the renamed input conv; old 02_PReLU has the new
+            # 02_PReLU's shape but is the fused act's alpha) — so for D
+            # keys the migrated spelling takes priority over an exact hit
+            if legacy and key.startswith(".d_"):
+                old = _legacy_key(key)
+                if old is not None and old in z \
+                        and tuple(z[old].shape) == tuple(want):
+                    migrated.append(key)
+                    leaves.append(z[old])
+                    continue
             if key not in z:
                 if is_lenient:
                     reinit.append(key)
@@ -88,7 +137,6 @@ def load(path: str, template: Any,
                     continue
                 raise KeyError(f"checkpoint {path} missing leaf {key}")
             arr = z[key]
-            want = np.shape(leaf)
             if tuple(arr.shape) != tuple(want):
                 if is_lenient:
                     reinit.append(key)
@@ -97,6 +145,12 @@ def load(path: str, template: Any,
                 raise ValueError(
                     f"checkpoint leaf {key} shape {arr.shape} != template {want}")
             leaves.append(arr)
+    if migrated:
+        import warnings
+        warnings.warn(f"checkpoint {path}: restored {len(migrated)} leaves "
+                      f"from their pre-round-3 keys (ST-D input-prefix "
+                      f"restructure), e.g. {migrated[0]}")
+        meta["_migrated"] = migrated
     if reinit:
         import warnings
         warnings.warn(f"checkpoint {path}: re-initialized {len(reinit)} "

@@ -506,6 +506,14 @@ _DENSE_MASK_IMPL = os.environ.get("CATGEN_V4_DENSE_MASK", "mxu")
 # eliminated). Costs a duplicated mask build when BOTH cotangents are
 # live (the G phase); A/B in KERNELS.md (default set by measurement).
 _SPLIT_BWD = os.environ.get("CATGEN_V4_SPLIT_BWD", "0") == "1"
+if _SPLIT_BWD and _DENSE_MASK_IMPL == "vpu":
+    import warnings
+    warnings.warn(
+        "CATGEN_V4_SPLIT_BWD=1 is only implemented for the mxu dense-mask "
+        "backward (and the separable path); STs on the dense path with "
+        "CATGEN_V4_DENSE_MASK=vpu fall back to the monolithic backward "
+        "kernel — the d_img DCE saving will NOT be active there",
+        stacklevel=2)
 
 
 # Per-kernel scoped-VMEM ceiling. The Mosaic default is 16 MB but v5e has

@@ -80,6 +80,9 @@ class GanConfig:
                                           # fused affine+brightness+noise,
                                           # generate_dataset.py:68-73
                                           # semantics applied at train time)
+    normalized_inputs: bool = False       # reals arrive [-1,1] (--normalize):
+                                          # augment_batch assumes [0,1], so
+                                          # the step denormalizes around it
 
     def make_optimizers(self) -> Tuple[optim.Optimizer, optim.Optimizer]:
         return (self._make(self.d_optimizer, self.d_lr, self.d_sgd_lr,
@@ -141,6 +144,26 @@ def uniform_noise(rng: jax.Array, n: int, noise_dim: int,
                   dtype=jnp.float32) -> jax.Array:
     """Noise ~ U(-1, 1), dim 100 by default (nn_utils.lua:35-39)."""
     return jax.random.uniform(rng, (n, noise_dim), dtype, -1.0, 1.0)
+
+
+def augment_reals(config: GanConfig, rng: jax.Array,
+                  reals: jax.Array) -> jax.Array:
+    """On-device train-time augmentation of the real half-batches.
+
+    ``augment_batch`` works in [0,1] (its brightness is multiplicative and
+    it clips to [0,1]); with --normalize the reals arrive in [-1,1]
+    (normalized_inputs), so the step unmaps/remaps around it — two fused
+    elementwise ops, exact inverse pair on in-range values."""
+    from catgen.data.ops import augment_batch
+    from catgen.data import color as colorlib
+
+    x = reals
+    if config.normalized_inputs:
+        x = colorlib.denormalize(x)
+    x = augment_batch(rng, x)
+    if config.normalized_inputs:
+        x = colorlib.normalize(x)
+    return x
 
 
 def init_state(g: Module, d: Module, config: GanConfig,
@@ -319,8 +342,7 @@ def make_train_step(g: Module, d: Module, config: GanConfig):
             f"{config.d_iterations * half} reals, got {reals.shape[0]}")
         rng = jax.random.fold_in(rng, state.step)
         if config.augment:
-            from catgen.data.ops import augment_batch
-            reals = augment_batch(jax.random.fold_in(rng, 0x0A06),
+            reals = augment_reals(config, jax.random.fold_in(rng, 0x0A06),
                                   reals.astype(cdt))
         d_stats = []
         for it in range(config.d_iterations):

@@ -427,6 +427,16 @@ class GanHarness:
             done += 1
             if int(self.state.epoch) % self.hc.save_freq == 0:
                 self.save()
+        # the loop's verdict check only runs at the TOP of an iteration, so
+        # a firing during the final epoch would otherwise be ignored — and
+        # the final state's viz signals (probe saturation, nn_l2_ratio)
+        # are never observed by the top-of-loop visualize. Check both
+        # before the final save writes a possibly-degenerate state.
+        if self.collapse is not None and done > 0:
+            if not self.collapse.verdict:
+                self.visualize()
+            if self.collapse.verdict:
+                return self._abort_collapsed()
         # final save — unless the loop's cadence save just wrote this
         # exact state (a duplicate would rotate the real previous
         # snapshot out of adversarial.ckpt.old)

@@ -189,3 +189,39 @@ def test_scan_metrics_reads_nn_ratio(tmp_path):
                                     "nn_l2_ratio": 1.8}) + "\n")
     rep = collapse.scan_metrics(p)
     assert rep["collapsed"] and rep["reason"] == "far_from_data"
+
+
+def test_harness_acts_on_final_epoch_firing(tmp_path):
+    """A detector firing during the FINAL epoch must still abort: the
+    while loop's top-of-iteration verdict check never runs again, so
+    train() re-checks after the loop before the final save (round-3
+    review fix — previously the degenerate state was saved to
+    adversarial.ckpt and the run reported 'completed')."""
+    from catgen.data.fixture import write_fixture_dataset
+    from catgen.data.loader import ImageDataset
+    from catgen.train import gan
+    from catgen.train.harness import GanHarness, HarnessConfig
+
+    save = str(tmp_path / "logs")
+    fx = str(tmp_path / "fixture")
+    write_fixture_dataset(fx, n=8)
+    hc = HarnessConfig(save_dir=save, scale=16, n_epoch=16, epochs=1,
+                       g_model="g16up", d_model="d16b",
+                       collapse_detect=True)
+    h = GanHarness(hc, gan.GanConfig(batch_size=8),
+                   ImageDataset([fx], scale=16))
+    orig = h.run_epoch
+
+    def run_and_fire():
+        orig()
+        # as if observe_epoch had fired inside this (last) epoch
+        h.collapse.verdict = "d_runaway"
+        h.collapse.fired_epoch = int(h.state.epoch)
+
+    h.run_epoch = run_and_fire
+    status = h.train()
+    assert status == "collapsed"
+    rep = json.load(open(os.path.join(save, "collapse.json")))
+    assert rep["reason"] == "d_runaway"
+    assert os.path.exists(os.path.join(save, "adversarial_collapsed.ckpt"))
+    assert not os.path.exists(os.path.join(save, "adversarial.ckpt"))

@@ -170,3 +170,46 @@ def test_activation_grids(tmp_path, key, rng):
     files = save_activation_grids(model, variables, x, str(tmp_path / "act"))
     assert len(files) >= 4
     assert all(os.path.getsize(f) > 0 for f in files)
+
+
+def test_legacy_std_checkpoint_migration(tmp_path):
+    """Checkpoints written before the round-3 ST-D input-prefix restructure
+    (flat 00_SpatialTransformer/01_Conv/02_PReLU, later indices +2) load
+    transparently into the FusedSTConvPReLU tree (io/checkpoint.py
+    _legacy_key)."""
+    from catgen import models
+
+    img = (32, 32, 3)
+    g = models.create_G_decoder_upsampling32c(img, 8)
+    d = models.create_D32_st3(img)
+    config = gan.GanConfig(batch_size=4, noise_dim=8, acc_window=4)
+    state = gan.init_state(g, d, config, jax.random.PRNGKey(3), img)
+    path = str(tmp_path / "adversarial.ckpt")
+    checkpoint.save(path, state, meta={"epoch": 7})
+
+    # rewrite the archive under the pre-round-3 key spellings: only the D
+    # trees were renamed (the G tree never changed), so the legacy map is
+    # applied to .d_* keys only
+    with np.load(path) as z:
+        legacy = {}
+        for k in z.files:
+            old = (checkpoint._legacy_key(k)
+                   if k.startswith(".d_") else None)
+            legacy[old if old is not None else k] = z[k]
+    assert any("00_SpatialTransformer" in k for k in legacy), \
+        "test setup: legacy rewrite produced no old-format signature"
+    with open(path, "wb") as f:   # np.savez(str) would append ".npz"
+        np.savez(f, **legacy)
+
+    template = gan.init_state(g, d, config, jax.random.PRNGKey(9), img)
+    restored, meta = checkpoint.load(path, template)
+    assert meta.get("_migrated"), "expected migrated leaves"
+    assert not meta.get("_reinitialized")
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # a current-format archive must load without triggering migration
+    checkpoint.save(path, state, meta={"epoch": 8})
+    _, meta2 = checkpoint.load(path, template)
+    assert "_migrated" not in meta2

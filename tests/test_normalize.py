@@ -66,3 +66,33 @@ def test_checkpoint_carries_normalize_fields(tmp_path):
     _, meta2 = ckpt.load(os.path.join(save + "2", "adversarial.ckpt"),
                          h2.state)
     assert meta2["normalize_mean"] is None
+
+
+def test_augment_respects_normalized_inputs():
+    """--normalize + --augment: augment_batch assumes [0,1] inputs and
+    clips to [0,1]; the step must unmap/remap normalized reals around it
+    or every pixel below mid-gray is destroyed (round-3 review fix)."""
+    import jax
+    import jax.numpy as jnp
+    from catgen.data.ops import augment_batch
+    from catgen.train import gan
+
+    rng = jax.random.PRNGKey(0)
+    raw = jax.random.uniform(jax.random.PRNGKey(1), (4, 16, 16, 3))
+    normed = colorlib.normalize(raw)
+
+    cfg = gan.GanConfig(batch_size=8, augment=True, normalized_inputs=True)
+    out = np.asarray(gan.augment_reals(cfg, rng, normed))
+    # output stays in the normalized range and keeps its dark half
+    assert out.min() >= -1.0 and out.max() <= 1.0
+    assert out.min() < -0.2, "dark pixels were clipped away"
+    # exactly normalize(augment(denormalize(x)))
+    want = colorlib.normalize(augment_batch(rng, colorlib.denormalize(
+        jnp.asarray(normed))))
+    np.testing.assert_allclose(out, np.asarray(want), rtol=0, atol=0)
+
+    # without normalized_inputs the helper is augment_batch verbatim
+    cfg2 = gan.GanConfig(batch_size=8, augment=True)
+    out2 = np.asarray(gan.augment_reals(cfg2, rng, raw))
+    np.testing.assert_array_equal(
+        out2, np.asarray(augment_batch(rng, raw)))

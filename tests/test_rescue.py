@@ -85,6 +85,10 @@ def test_train_cmd_reconstructs_run_config():
     cmd = rescue.train_cmd(meta, "/tmp/rdir", "/tmp/src.ckpt", 1001, 100, ns)
     s = " ".join(cmd)
     assert "--D_maxAcc 0.95" in s and "--augment" in s
+    # the optimizer pipeline is reconstructed from gan_config meta
+    # (round-3 review fix: a rescue must not reset hypers to defaults)
+    assert "--D_optmethod adam" in s and "--D_L2 0.0001" in s
+    assert "--dtype f32" in s
     assert "--seed 1001" in s and "--epochs 100" in s
     assert "--network /tmp/src.ckpt" in s and "--saveFreq 25" in s
 

@@ -93,7 +93,25 @@ def train_cmd(meta, rescue_dir, network, seed, epochs_left, args):
            "--D_maxAcc", str(gc.get("d_max_acc", 1.01)),
            "--D_iterations", str(gc.get("d_iterations", 1)),
            "--G_iterations", str(gc.get("g_iterations", 1)),
+           # the optimizer pipeline must continue exactly as trained —
+           # gan_config meta carries every knob except compute_dtype
+           # (deliberately not persisted; pass --dtype)
+           "--D_optmethod", gc.get("d_optimizer", "adam"),
+           "--G_optmethod", gc.get("g_optimizer", "adam"),
+           "--D_sgd_lr", str(gc.get("d_sgd_lr", 0.02)),
+           "--G_sgd_lr", str(gc.get("g_sgd_lr", 0.02)),
+           "--D_sgd_momentum", str(gc.get("d_sgd_momentum", 0.0)),
+           "--G_sgd_momentum", str(gc.get("g_sgd_momentum", 0.0)),
+           "--D_L1", str(gc.get("d_l1", 0.0)),
+           "--D_L2", str(gc.get("d_l2", 1e-4)),
+           "--G_L1", str(gc.get("g_l1", 0.0)),
+           "--G_L2", str(gc.get("g_l2", 0.0)),
+           "--D_clamp", str(gc.get("d_clamp", 1.0)),
+           "--G_clamp", str(gc.get("g_clamp", 5.0)),
+           "--dtype", getattr(args, "dtype", "f32"),
            "--platform", args.platform]
+    if getattr(args, "dataset", None):
+        cmd += ["--dataset"] + list(args.dataset)
     if gc.get("augment"):
         cmd.append("--augment")
     if hc.get("normalize"):
@@ -119,9 +137,25 @@ def main(argv=None):
                         "re-collapse)")
     p.add_argument("--platform", default="auto",
                    choices=["auto", "cpu", "tpu"])
+    p.add_argument("--dataset", nargs="*", default=None,
+                   help="image dirs for the rescue run (REQUIRED when the "
+                        "original run trained on --dataset rather than a "
+                        "fixture dir — the corpus path is not recorded in "
+                        "the checkpoint)")
+    p.add_argument("--dtype", default="f32", choices=["f32", "bf16"],
+                   help="compute dtype for the rescue run (not persisted "
+                        "in checkpoints; must match the original run — "
+                        "f32 is cli.train's and the sweep's default)")
     args = p.parse_args(argv)
 
     run_dir = args.run_dir.rstrip("/")
+    if not args.dataset and not os.path.isdir(
+            os.path.join(run_dir, "fixture")):
+        raise SystemExit(
+            "[rescue] the original run has no fixture/ dir and no "
+            "--dataset was given — refusing to rescue against a freshly "
+            "synthesized toy corpus; pass --dataset <dirs> (the corpus "
+            "path is not recorded in checkpoints)")
     src, meta = pick_source(run_dir, args.from_ckpt or None)
     base_seed = meta.get("config", {}).get("seed", 1)
     attempts_log = []

@@ -35,13 +35,26 @@ import sys
 import time
 
 
-def run_cmd(args, log_path, timeout=7200):
+TIMEOUT_RC = -1000  # sentinel: stage exceeded --stage-timeout
+
+
+def run_cmd(args, log_path, timeout=None):
+    timeout = timeout or run_cmd.default_timeout
     with open(log_path, "a") as log:
         log.write("\n+ " + " ".join(args) + "\n")
         log.flush()
-        p = subprocess.run(args, stdout=log, stderr=subprocess.STDOUT,
-                           timeout=timeout)
+        try:
+            p = subprocess.run(args, stdout=log, stderr=subprocess.STDOUT,
+                               timeout=timeout)
+        except subprocess.TimeoutExpired:
+            # subprocess.run kills the child before raising; record the
+            # outcome instead of aborting the remaining sweep configs
+            log.write(f"\n[sweep] stage timed out after {timeout}s\n")
+            return TIMEOUT_RC
     return p.returncode
+
+
+run_cmd.default_timeout = 7200
 
 
 def module_cmd(mod, *args):
@@ -173,7 +186,14 @@ def main(argv=None):
                    help="after the sweep, give each collapsed config up "
                         "to N restart attempts from its last healthy "
                         "checkpoint (tools/rescue.py)")
+    p.add_argument("--stage-timeout", type=int, default=7200,
+                   help="per-stage wall-clock limit in seconds; a stage "
+                        "that exceeds it is killed and recorded as "
+                        "outcome=error rc=-1000 instead of aborting the "
+                        "whole sweep (raise when the box is shared — "
+                        "contention can 2x every stage)")
     args = p.parse_args(argv)
+    run_cmd.default_timeout = args.stage_timeout
 
     os.makedirs(args.out, exist_ok=True)
     results_path = os.path.join(args.out, "sweep_results.json")
