@@ -104,3 +104,24 @@ def test_sweep_table_markdown():
     assert "d_runaway @ep120" in rows
     assert "std=0.160" in rows
     assert "train rc=1" in rows
+
+
+def test_sweep_stage_timeout_recorded(tmp_path):
+    """A stage exceeding the timeout is killed and reported as the
+    TIMEOUT_RC sentinel instead of raising out of the sweep (round-3
+    review fix)."""
+    import sys
+
+    _spec2 = importlib.util.spec_from_file_location(
+        "seed_sweep", os.path.join(os.path.dirname(__file__), "..",
+                                   "tools", "seed_sweep.py"))
+    sweep = importlib.util.module_from_spec(_spec2)
+    _spec2.loader.exec_module(sweep)
+    log = str(tmp_path / "log.txt")
+    rc = sweep.run_cmd([sys.executable, "-c",
+                        "import time; time.sleep(30)"], log, timeout=1)
+    assert rc == sweep.TIMEOUT_RC
+    assert "timed out" in open(log).read()
+    # a fast command is unaffected
+    assert sweep.run_cmd([sys.executable, "-c", "print('ok')"],
+                         log, timeout=30) == 0
