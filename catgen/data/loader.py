@@ -113,9 +113,21 @@ class ImageDataset:
         if self._decoder != "pil":
             try:
                 from catgen.data import native_decode
-                return native_decode.decode_batch(self.paths, s)
+                out, ok = native_decode.decode_batch_checked(self.paths, s)
             except (ImportError, OSError):
                 pass
+            else:
+                if not ok.all():
+                    # the native pool zero-fills failed slots — raising
+                    # here matches the PIL path (which raises on the same
+                    # file) instead of silently training on black images
+                    bad = [self.paths[i] for i in np.flatnonzero(ok == 0)]
+                    raise ValueError(
+                        f"{len(bad)} image(s) failed to decode, e.g. "
+                        f"{bad[:3]} — fix or remove them (the zero-filled "
+                        f"slots would otherwise enter training as "
+                        f"all-black reals)")
+                return out
         out = np.empty((len(self.paths), s, s, 3), np.uint8)
         for i, p in enumerate(self.paths):
             out[i] = _decode_pil(p, s)

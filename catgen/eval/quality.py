@@ -61,12 +61,9 @@ def _dist_stats(x: np.ndarray, hist_range=None, bins: int = 20) -> Dict[str, Any
 @jax.jit
 def _pairwise_mean_l2(x: jax.Array) -> jax.Array:
     """Mean pairwise L2 distance over a (n, ...) batch (diagonal excluded)."""
-    f = x.reshape(x.shape[0], -1).astype(jnp.float32)
-    sq = jnp.sum(f * f, axis=1)
-    d2 = sq[:, None] + sq[None, :] - 2.0 * jnp.dot(
-        f, f.T, preferred_element_type=jnp.float32)
-    d2 = jnp.maximum(d2, 0.0)
-    n = f.shape[0]
+    from catgen.sample.sampler import dist2_matrix
+    d2 = dist2_matrix(x, x)
+    n = x.shape[0]
     return jnp.sum(jnp.sqrt(d2)) / (n * (n - 1))
 
 

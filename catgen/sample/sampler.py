@@ -45,20 +45,41 @@ def rank_by_d(d: Module, d_vars, images: jax.Array,
     return order, scores
 
 
-@jax.jit
-def nearest_neighbours(queries: jax.Array,
-                       corpus: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """For each query image, the index + L2 distance of its closest corpus
-    image. One matmul: ||a-b||^2 = ||a||^2 + ||b||^2 - 2 a.b."""
+def dist2_matrix(queries: jax.Array, corpus: jax.Array) -> jax.Array:
+    """Squared-L2 distance matrix between two image batches as ONE matmul:
+    ||a-b||^2 = ||a||^2 + ||b||^2 - 2 a.b (f32 accumulation, clamped at 0).
+    The single shared implementation behind every NN signal in the repo —
+    the sampler CLI, eval/quality, and the harness blob-collapse probe."""
     q = queries.reshape(queries.shape[0], -1).astype(jnp.float32)
     c = corpus.reshape(corpus.shape[0], -1).astype(jnp.float32)
     q2 = jnp.sum(q * q, axis=1, keepdims=True)
     c2 = jnp.sum(c * c, axis=1)[None, :]
     d2 = q2 + c2 - 2.0 * jnp.dot(q, c.T, preferred_element_type=jnp.float32)
-    d2 = jnp.maximum(d2, 0.0)
+    return jnp.maximum(d2, 0.0)
+
+
+@jax.jit
+def nearest_neighbours(queries: jax.Array,
+                       corpus: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """For each query image, the index + L2 distance of its closest corpus
+    image (sample.lua:133-151's host scan as one matmul)."""
+    d2 = dist2_matrix(queries, corpus)
     idx = jnp.argmin(d2, axis=1)
     dist = jnp.sqrt(jnp.take_along_axis(d2, idx[:, None], axis=1)[:, 0])
     return idx, dist
+
+
+def nn_l2_mean(queries: jax.Array, corpus: jax.Array) -> jax.Array:
+    """Mean NN L2 distance of each query to the corpus (jit-inlineable)."""
+    return jnp.sqrt(dist2_matrix(queries, corpus).min(1)).mean()
+
+
+def self_nn_mean(images: jax.Array) -> jax.Array:
+    """Mean leave-one-out NN distance of a set to itself (the normalizer
+    for the blob-collapse nn_l2_ratio signal, eval/collapse.py)."""
+    d2 = dist2_matrix(images, images)
+    d2 = d2 + jnp.diag(jnp.full((images.shape[0],), jnp.inf))
+    return jnp.sqrt(d2.min(1)).mean()
 
 
 def sample_and_rank(g: Module, d: Module, g_vars, d_vars, rng: jax.Array,

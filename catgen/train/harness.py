@@ -246,25 +246,35 @@ class GanHarness:
         rng = jax.random.fold_in(jax.random.PRNGKey(self.hc.seed),
                                  int(self.state.epoch))
         self.state, metrics = self.epoch_fn(self.state, batches, rng)
-        jax.block_until_ready(self.state)
+        # ONE device->host fetch for every epoch scalar, and the timing
+        # stops only after it: through the axon tunnel block_until_ready
+        # returns before device execution finishes, so a fetch is the only
+        # true synchronization point (CLAUDE.md / KERNELS.md "Timing
+        # honesty") — and each extra fetch pays a tunnel RTT
+        (loss_d, loss_g, acc_d, d_trained, tp, tn, fp, fn) = (
+            jax.device_get((jnp.mean(metrics.loss_d),
+                            jnp.mean(metrics.loss_g),
+                            jnp.mean(metrics.acc_d),
+                            jnp.mean(metrics.d_trained),
+                            jnp.sum(metrics.tp_real),
+                            jnp.sum(metrics.tn_fake),
+                            jnp.sum(metrics.fp),
+                            jnp.sum(metrics.fn))))
         dt = time.time() - t0
         nb = batches.shape[0]
         n_seen = nb * batches.shape[1]
         summary = {
             "epoch": int(self.state.epoch) - 1,
-            "loss_d": float(jnp.mean(metrics.loss_d)),
-            "loss_g": float(jnp.mean(metrics.loss_g)),
-            "acc_d": float(jnp.mean(metrics.acc_d)),
-            "d_trained_frac": float(jnp.mean(metrics.d_trained)),
+            "loss_d": float(loss_d),
+            "loss_g": float(loss_g),
+            "acc_d": float(acc_d),
+            "d_trained_frac": float(d_trained),
             "sec": round(dt, 3),
             "ms_per_sample": round(1000 * dt / max(n_seen, 1), 4),
             "imgs_per_sec": round(n_seen / dt, 1),
         }
         self.logger.log("epoch", **summary)
-        print(confusion_summary(int(jnp.sum(metrics.tp_real)),
-                                int(jnp.sum(metrics.tn_fake)),
-                                int(jnp.sum(metrics.fp)),
-                                int(jnp.sum(metrics.fn))))
+        print(confusion_summary(int(tp), int(tn), int(fp), int(fn)))
         if self.collapse is not None:
             self.collapse.observe_epoch(summary["epoch"], summary["acc_d"],
                                         summary["loss_g"])
@@ -308,11 +318,8 @@ class GanHarness:
             # far_from_data; probes/saturation miss the blob regime)
             cdisp = colorlib.denormalize(corpus) if normalize else corpus
             crgb = colorlib.colorspace_to_rgb(cdisp, colorspace)
-            s = rgb.reshape(rgb.shape[0], -1).astype(jnp.float32)
-            c = crgb.reshape(crgb.shape[0], -1).astype(jnp.float32)
-            d2 = ((s * s).sum(1)[:, None] + (c * c).sum(1)[None, :]
-                  - 2.0 * s @ c.T)
-            out["nn_l2"] = jnp.sqrt(jnp.maximum(d2, 0.0)).min(1).mean()
+            from catgen.sample.sampler import nn_l2_mean
+            out["nn_l2"] = nn_l2_mean(rgb, crgb)
             if v is not None:
                 sel = jnp.concatenate([imgs, imgs[order[:50]],
                                        imgs[order[-50:]]])
@@ -344,12 +351,8 @@ class GanHarness:
                 disp = (colorlib.denormalize(self._viz_corpus)
                         if self.hc.normalize else self._viz_corpus)
                 crgb = colorlib.colorspace_to_rgb(disp, self.hc.colorspace)
-                c = jnp.reshape(crgb, (k, -1)).astype(jnp.float32)
-                d2 = ((c * c).sum(1)[:, None] + (c * c).sum(1)[None, :]
-                      - 2.0 * c @ c.T)
-                d2 = d2 + jnp.diag(jnp.full((k,), jnp.inf))
-                self._nn_baseline = float(
-                    jnp.sqrt(jnp.maximum(d2, 0.0)).min(1).mean())
+                from catgen.sample.sampler import self_nn_mean
+                self._nn_baseline = float(self_nn_mean(crgb))
         res = jax.device_get(self._viz_fn()(
             self.state.g_params, self.state.g_state,
             self.state.d_params, self.state.d_state,
@@ -535,13 +538,16 @@ class VHarness:
         rng = jax.random.PRNGKey(self._np.randint(2 ** 31))
         self.state, m = self.epoch_fn(self.state, reals, gen_reals,
                                       branches, sub_branches, submix, rng)
-        jax.block_until_ready(self.state)
-        conf = [int(jnp.sum(m.tp_real)), int(jnp.sum(m.tn_fake)),
-                int(jnp.sum(m.fp)), int(jnp.sum(m.fn))]
+        # one fetch for all scalars; dt only after it (the fetch is the
+        # true sync point through the tunnel — see GanHarness.run_epoch)
+        loss, acc, tp, tn, fp, fn = jax.device_get(
+            (jnp.mean(m.loss), jnp.mean(m.acc), jnp.sum(m.tp_real),
+             jnp.sum(m.tn_fake), jnp.sum(m.fp), jnp.sum(m.fn)))
+        conf = [int(tp), int(tn), int(fp), int(fn)]
         dt = time.time() - t0
         summary = {"epoch": int(self.state.epoch) - 1,
-                   "loss": float(jnp.mean(m.loss)),
-                   "acc": float(jnp.mean(m.acc)),
+                   "loss": float(loss),
+                   "acc": float(acc),
                    "sec": round(dt, 3)}
         self.logger.log("epoch", **summary)
         print(confusion_summary(*conf))
@@ -647,10 +653,12 @@ class PretrainHarness:
         rng = jax.random.fold_in(jax.random.PRNGKey(self.hc.seed),
                                  int(self.state.epoch))
         self.state, losses = self.epoch_fn(self.state, batches, rng)
-        jax.block_until_ready(self.state)
+        # fetch BEFORE timing: the fetch is the only true sync point
+        # through the tunnel (see GanHarness.run_epoch)
+        mse = float(jax.device_get(jnp.mean(losses)))
         dt = time.time() - t0
         summary = {"epoch": int(self.state.epoch) - 1,
-                   "mse": float(jnp.mean(losses)), "sec": round(dt, 3)}
+                   "mse": mse, "sec": round(dt, 3)}
         self.logger.log("epoch", **summary)
         return summary
 
@@ -668,8 +676,14 @@ class PretrainHarness:
                   epoch=epoch)
 
     def train(self, epochs: int, save_freq: int = 1):
+        saved_at = None
         for _ in range(epochs):
             self.run_epoch()
             self.visualize()
             if int(self.state.epoch) % save_freq == 0:
                 self.save()
+                saved_at = int(self.state.epoch)
+        # final save — epochs not aligned with save_freq must not lose
+        # the trailing epochs (mirrors GanHarness/VHarness.train)
+        if epochs > 0 and saved_at != int(self.state.epoch):
+            self.save()

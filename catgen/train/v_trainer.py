@@ -138,7 +138,12 @@ def make_train_epoch(v: Module, config: VConfig, bank, image_shape):
             st, i = carry
             r, gr, br, sbr, sm = inputs
             k = jax.random.fold_in(rng, i)
-            fakes = generate(jax.random.fold_in(k, 1), br, sbr, sm, gr)
+            # namespace-separate the synthetic-generation key from the
+            # step's own fold_in(k, state.step) stream: fold_in(k, 1)
+            # would COLLIDE with it at state.step == 1 (key reused both
+            # to split and to draw bits — round-3 review fix)
+            gen_k = jax.random.fold_in(k, 0x7FFFFFFF)
+            fakes = generate(gen_k, br, sbr, sm, gr)
             st, m = step(st, r, fakes, k)
             return (st, i + 1), m
 

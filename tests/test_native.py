@@ -51,3 +51,19 @@ def test_loader_uses_native_path(jpegs):
     ds = ImageDataset([os.path.dirname(jpegs[0])], scale=32)
     imgs = ds.load_random_images(4)
     assert imgs.shape == (4, 32, 32, 3)
+
+
+def test_loader_raises_on_corrupt_file(tmp_path):
+    """The loader's native cache fill must fail loudly on undecodable
+    files (round-3 review fix: decode_batch zero-fills failed slots,
+    which previously entered training as all-black reals), matching the
+    PIL path's behavior."""
+    from catgen.data.loader import ImageDataset
+
+    d = str(tmp_path / "corpus")
+    write_fixture_dataset(d, n=4, size=96, seed=3)
+    with open(os.path.join(d, "broken.jpg"), "wb") as f:
+        f.write(b"\xff\xd8\xff\xe0 not a real jpeg")
+    ds = ImageDataset([d], scale=32)
+    with pytest.raises(ValueError, match="failed to decode"):
+        ds.load_random_images(2)

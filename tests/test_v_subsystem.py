@@ -194,8 +194,8 @@ def test_v_epoch_scan_matches_step_loop(bank, key):
     s_loop = state
     for i in range(nb):
         k = jax.random.fold_in(key, i)
-        fakes = gen(jax.random.fold_in(k, 1), branches[i], sub_branches[i],
-                    submix[i], gen_reals[i])
+        fakes = gen(jax.random.fold_in(k, 0x7FFFFFFF), branches[i],
+                    sub_branches[i], submix[i], gen_reals[i])
         s_loop, _ = step(s_loop, reals[i], fakes, k)
     assert int(s_scan.step) == int(s_loop.step) == nb
     assert int(s_scan.epoch) == 2
