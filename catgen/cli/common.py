@@ -56,7 +56,11 @@ def apply_platform(args):
         dist.initialize(args.coordinator, args.numProcesses, args.processId)
 
 
-def build_dataset(args) -> ImageDataset:
+def build_dataset(args, create_fixture: bool = True) -> ImageDataset:
+    """``create_fixture=False`` (the eval/sample CLIs): refuse to fabricate
+    a synthetic corpus when no --dataset is given and no fixture dir
+    exists — quality/NN statistics against a toy corpus look valid in the
+    JSON but are meaningless for a dataset-trained checkpoint."""
     import jax
 
     multiproc = jax.process_count() > 1
@@ -65,6 +69,13 @@ def build_dataset(args) -> ImageDataset:
         n = args.fixture or 64
         fixture_dir = os.path.join(args.save, "fixture")
         if not os.path.isdir(fixture_dir) or not os.listdir(fixture_dir):
+            if not create_fixture:
+                raise SystemExit(
+                    f"no --dataset given and no fixture corpus at "
+                    f"{fixture_dir} — pass --dataset <dirs> (the training "
+                    f"corpus path is not recorded in checkpoints); "
+                    f"refusing to evaluate against a freshly synthesized "
+                    f"toy corpus")
             if jax.process_index() == 0:
                 print(f"[data] no --dataset given; writing {n} synthetic "
                       f"cat faces to {fixture_dir}")

@@ -40,7 +40,6 @@ def main(argv=None):
     apply_platform(args)
 
     import jax
-    import numpy as np
 
     from catgen import models
     from catgen.eval.quality import quality_report, summarize
@@ -71,12 +70,16 @@ def main(argv=None):
     g_vars = {"params": state.g_params, "state": state.g_state}
     d_vars = {"params": state.d_params, "state": state.d_state}
 
-    # corpus at the checkpoint's scale/colorspace/input-range (NN
-    # reference set) — a --normalize-trained D expects [-1,1] reals, so
-    # the flag is restored from the checkpoint like scale/colorspace
+    # corpus at the checkpoint's scale/colorspace (NN reference set),
+    # ALWAYS loaded in [0,1]: the NN/copy stats compare against sigmoid
+    # [0,1] G samples. A --normalize-trained D saw reals in [-1,1], so
+    # that flag (restored from the checkpoint like scale/colorspace) is
+    # passed to quality_report, which remaps the corpus only for the
+    # D real-score pass.
     args.scale, args.colorSpace = scale, colorspace
-    args.normalize = bool(hc.get("normalize", False))
-    dataset = build_dataset(args)
+    args.normalize = False
+    normalized_inputs = bool(hc.get("normalize", False))
+    dataset = build_dataset(args, create_fixture=False)
     corpus = dataset.load_images(0, len(dataset))
 
     # V checkpoint, if trained (pseudo-validation score)
@@ -90,7 +93,8 @@ def main(argv=None):
 
     report = quality_report(g, d, g_vars, d_vars, corpus,
                             noise_dim=noise_dim, n_samples=args.samples,
-                            seed=args.seed, v=v, v_vars=v_vars)
+                            seed=args.seed, v=v, v_vars=v_vars,
+                            normalized_inputs=normalized_inputs)
     report["checkpoint"] = path
     report["epoch"] = int(meta.get("epoch", -1))
 

@@ -24,7 +24,7 @@ from catgen.io.grids import save_grid
 from catgen.sample import (interleave_pairs, neighbours_of_best,
                            sample_and_rank)
 from catgen.train import gan
-from catgen.train.harness import HarnessConfig, _acc_window
+from catgen.train.harness import HarnessConfig
 
 
 def parse_args(argv=None):
@@ -74,7 +74,7 @@ def main(argv=None):
     g, d, state, hc = load_gan(path)
     args.scale, args.colorSpace = hc.scale, hc.colorspace
     out = args.out or os.path.join(args.save, "samples")
-    dataset = build_dataset(args)
+    dataset = build_dataset(args, create_fixture=False)
 
     def to_rgb(x):
         return np.asarray(colorlib.colorspace_to_rgb(jnp.asarray(x),

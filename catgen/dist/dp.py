@@ -32,6 +32,20 @@ from catgen.dist.mesh import DATA_AXIS, fold_in_axis_index
 from catgen.train import gan
 
 
+def _with_axis(config):
+    """Hands the inner step a config whose ``axis_name`` is SET. A config
+    with axis_name=None would build a step that skips its grad/BN-stat/
+    gate-acc pmeans while the shard_map still declares the outputs
+    replicated (check_vma=False) — per-device state would silently
+    diverge. Rebinding here makes the builders safe to call with the
+    default config."""
+    import dataclasses
+    if config.axis_name is None:
+        config = dataclasses.replace(config, axis_name=DATA_AXIS)
+    assert config.axis_name is not None
+    return config, config.axis_name
+
+
 def _reduce_metrics(metrics: gan.StepMetrics, axis: str) -> gan.StepMetrics:
     """Losses/accuracies pmean-ed; confusion counts psum-ed."""
     return gan.StepMetrics(
@@ -52,7 +66,7 @@ def make_dp_train_step(g: Module, d: Module, config: gan.GanConfig,
     """(state, reals (ndev*B/2, H, W, C), rng) -> (state, metrics), compiled
     once over the mesh. ``config.axis_name`` must equal the mesh data axis.
     """
-    axis = config.axis_name or DATA_AXIS
+    config, axis = _with_axis(config)
     assert axis in mesh.axis_names, (axis, mesh.axis_names)
     step = gan.make_train_step(g, d, config)
 
@@ -73,7 +87,7 @@ def make_dp_train_step(g: Module, d: Module, config: gan.GanConfig,
 def make_dp_train_epoch(g: Module, d: Module, config: gan.GanConfig,
                         mesh: Mesh):
     """Epoch scan over pre-batched reals (nb, ndev*B/2, H, W, C)."""
-    axis = config.axis_name or DATA_AXIS
+    config, axis = _with_axis(config)
     assert axis in mesh.axis_names
     epoch = gan.make_train_epoch(g, d, config)
 
@@ -98,7 +112,7 @@ def make_dp_v_step(v: Module, config, mesh: Mesh):
     config.axis_name)."""
     from catgen.train import v_trainer
 
-    axis = config.axis_name or DATA_AXIS
+    config, axis = _with_axis(config)
     assert axis in mesh.axis_names
     step = v_trainer.make_train_step(v, config)
 
@@ -128,7 +142,7 @@ def make_dp_v_epoch(v: Module, config, mesh: Mesh, bank, image_shape):
     reference's per-batch math.random), grads/acc pmean-ed inside."""
     from catgen.train import v_trainer
 
-    axis = config.axis_name or DATA_AXIS
+    config, axis = _with_axis(config)
     assert axis in mesh.axis_names
     epoch = v_trainer.make_train_epoch(v, config, bank, image_shape)
 
@@ -159,7 +173,7 @@ def make_dp_ae_step(autoencoder: Module, config, mesh: Mesh):
     (state, loss)."""
     from catgen.train import pretrainer
 
-    axis = config.axis_name or DATA_AXIS
+    config, axis = _with_axis(config)
     assert axis in mesh.axis_names
     step = pretrainer.make_train_step(autoencoder, config)
 
@@ -182,7 +196,7 @@ def make_dp_ae_epoch(autoencoder: Module, config, mesh: Mesh):
     (nb, ndev*B, H, W, C), rng) -> (state, losses (nb,))."""
     from catgen.train import pretrainer
 
-    axis = config.axis_name or DATA_AXIS
+    config, axis = _with_axis(config)
     assert axis in mesh.axis_names
     epoch = pretrainer.make_train_epoch(autoencoder, config)
 

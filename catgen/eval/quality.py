@@ -73,11 +73,17 @@ def quality_report(g: Module, d: Module, g_vars, d_vars,
                    seed: int = 42,
                    v: Optional[Module] = None, v_vars=None,
                    copy_threshold: float = 1.0,
-                   diversity_subset: int = 256) -> Dict[str, Any]:
+                   diversity_subset: int = 256,
+                   normalized_inputs: bool = False) -> Dict[str, Any]:
     """Computes the BASELINE.md quality statistics for a trained G/D pair.
 
     ``corpus``: (M, H, W, C) training images in the train colorspace/[0,1]
-    (the NN reference set, like sample.lua's TRAIN_DATA).
+    (the NN reference set, like sample.lua's TRAIN_DATA) — ALWAYS [0,1],
+    even for --normalize runs: G samples are sigmoid [0,1], so the
+    NN/copy-fraction stats need both sides in that range.
+    ``normalized_inputs``: the D was trained on [-1,1] reals
+    (--normalize); the corpus is remapped ONLY for the D real-score pass
+    (the range D saw real images in during training).
     """
     rng = jax.random.PRNGKey(seed)
     noise = gan.uniform_noise(rng, n_samples, noise_dim)
@@ -89,7 +95,11 @@ def quality_report(g: Module, d: Module, g_vars, d_vars,
     ridx = jax.random.randint(jax.random.fold_in(rng, 1),
                               (min(n_samples, corpus.shape[0]),),
                               0, corpus.shape[0])
-    real_scores = np.asarray(rank_by_d(d, d_vars, corpus[ridx])[1], np.float64)
+    d_reals = corpus[ridx]
+    if normalized_inputs:
+        from catgen.data import color as colorlib
+        d_reals = colorlib.normalize(d_reals)
+    real_scores = np.asarray(rank_by_d(d, d_vars, d_reals)[1], np.float64)
 
     # NN 2-norm of every sample against the full corpus (sample.lua:133-151
     # does this for the best 16 with host loops; one matmul here covers all)

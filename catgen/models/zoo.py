@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
-from catgen.core.module import ConcatBranches, Module, Sequential
+from catgen.core.module import Module, Sequential
 from catgen.kernels.upsample_conv import UpsampleConv
 from catgen.nn.fused import FusedDecoderSequential
 from catgen.nn.layers import (AvgPool, BatchNorm, Conv, Dense, Dropout,

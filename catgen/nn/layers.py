@@ -103,6 +103,7 @@ class Conv(Module):
         kh, kw = self.kernel_size
         cin = x.shape[-1]
         if (cin <= 4 and self.strides == (1, 1)
+                and kh % 2 == 1 and kw % 2 == 1   # conv_small_cin precondition
                 and (ph, pw) == ((kh - 1) // 2, (kw - 1) // 2)):
             from catgen.kernels import config as kconfig
             if kconfig.resolve_smallcin_impl() == "banded":

@@ -223,3 +223,35 @@ def test_dp_ae_epoch(rng):
     assert int(new_state.step) == 3
     assert losses.shape == (3,)
     assert np.isfinite(np.asarray(losses)).all()
+
+
+def test_dp_step_default_config_pmeans(rng):
+    """A config with axis_name=None must not silently skip the grad/acc
+    pmeans: the dp builders rebind axis_name onto the config before
+    building the inner step (round-3 review fix — previously only the
+    shard_map axis was defaulted, and per-device params diverged while
+    being stamped replicated)."""
+    mesh = dist.make_mesh(8)
+    g, d = tiny_g(), tiny_d()
+    reals = dist.shard_batch(
+        jnp.asarray(rng.rand(8 * 4, *IMG).astype(np.float32)), mesh)
+
+    def run(cfg):
+        state = gan.init_state(g, d, cfg, jax.random.PRNGKey(0), IMG)
+        state = dist.replicate(state, mesh)
+        step = dist.make_dp_train_step(g, d, cfg, mesh)
+        s2, _ = step(state, reals, jax.random.PRNGKey(1))
+        return s2
+
+    s_default = run(gan.GanConfig(batch_size=8, noise_dim=NOISE,
+                                  acc_window=4))
+    s_axis = run(gan.GanConfig(batch_size=8, noise_dim=NOISE, acc_window=4,
+                               axis_name="data"))
+    for a, b in zip(jax.tree_util.tree_leaves(s_default.g_params),
+                    jax.tree_util.tree_leaves(s_axis.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the default-config run's params are truly replicated
+    for leaf in jax.tree_util.tree_leaves(s_default.d_params):
+        shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+        for s in shards[1:]:
+            np.testing.assert_array_equal(shards[0], s)

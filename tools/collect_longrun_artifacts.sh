@@ -7,7 +7,9 @@
 set -e
 RUN=${1:?run dir}
 OUT=${2:-artifacts/longrun}
-shift 2 || true
+# shift only what was actually passed: `shift 2` with one arg fails
+# WITHOUT shifting, which would leave $RUN in $@ and corrupt EPOCHS
+shift $(( $# > 2 ? 2 : $# ))
 EPOCHS=${@:-"1 10 50 100 150 200 300 400 500 600 700 750"}
 cd "$(dirname "$0")/.."
 mkdir -p "$OUT/epochs" "$OUT/samples"

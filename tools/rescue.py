@@ -109,6 +109,7 @@ def train_cmd(meta, rescue_dir, network, seed, epochs_left, args):
            "--D_clamp", str(gc.get("d_clamp", 1.0)),
            "--G_clamp", str(gc.get("g_clamp", 5.0)),
            "--dtype", getattr(args, "dtype", "f32"),
+           "--devices", str(hc.get("n_devices", 1)),
            "--platform", args.platform]
     if getattr(args, "dataset", None):
         cmd += ["--dataset"] + list(args.dataset)
@@ -197,20 +198,25 @@ def main(argv=None):
         entry = {"attempt": i + 1, "seed": seed, "from_epoch": completed,
                  "source": src, "rc": rc,
                  "sec": round(time.time() - t0, 1)}
-        rck = os.path.join(rdir, "adversarial.ckpt")
         if rc == 42:
             cj = json.load(open(os.path.join(rdir, "collapse.json")))
             entry.update(outcome="collapsed",
                          fired_epoch=cj.get("fired_epoch"),
                          reason=cj.get("reason"))
-            # ratchet: continue from this attempt's own healthy rotation
-            # save if it got further than the current source
-            if os.path.exists(rck):
-                m2 = load_meta(rck)
-                if m2.get("epoch", 0) > meta.get("epoch", 0):
-                    src, meta = rck, m2
-                    print(f"[rescue] ratchet: next attempt resumes from "
-                          f"epoch {m2['epoch']}")
+            # ratchet: continue from this attempt's newest PRE-COLLAPSE
+            # rotation save if it got further than the current source.
+            # pick_source applies the fired_epoch filter — a cadence save
+            # written in the epoch the detector fired is degenerate and
+            # must not be adopted (same guard as the initial source pick).
+            try:
+                src2, m2 = pick_source(rdir)
+            except SystemExit:
+                src2 = None
+            if src2 is not None and \
+                    m2.get("epoch", 0) > meta.get("epoch", 0):
+                src, meta = src2, m2
+                print(f"[rescue] ratchet: next attempt resumes from "
+                      f"epoch {m2['epoch']}")
         elif rc == 0:
             entry["outcome"] = "completed"
         else:

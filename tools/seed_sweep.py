@@ -199,6 +199,15 @@ def main(argv=None):
     results_path = os.path.join(args.out, "sweep_results.json")
     results = (json.load(open(results_path))
                if os.path.exists(results_path) else [])
+    # a stage timeout is transient (shared-box contention), not a final
+    # outcome: drop those rows so a re-run with a larger --stage-timeout
+    # actually retries them instead of skipping
+    retry = {r["name"] for r in results
+             if r.get("outcome") == "error" and r.get("rc") == TIMEOUT_RC}
+    if retry:
+        print(f"[sweep] retrying previously timed-out configs: "
+              f"{sorted(retry)}")
+        results = [r for r in results if r["name"] not in retry]
     done = {r["name"] for r in results}
 
     log = os.path.join(args.out, "sweep.log")
