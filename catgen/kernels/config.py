@@ -23,9 +23,21 @@ _UPSAMPLE_IMPLS = ("auto", "collapsed", "pallas", "naive")
 _SAMPLER_IMPLS = ("auto", "xla", "mxu")
 _SAMPLER_KERNELS = ("v1", "v2", "v3", "v4")
 
-upsample_impl = os.environ.get("CATGEN_UPSAMPLE_IMPL", "auto")
-sampler_impl = os.environ.get("CATGEN_SAMPLER_IMPL", "auto")
-sampler_kernel = os.environ.get("CATGEN_SAMPLER_KERNEL", "v4")
+
+def _env_choice(var: str, default: str, allowed) -> str:
+    """Env-sourced impl selector with validation: a typo must fail loudly
+    at import, not silently fall through an if/else chain to some default
+    implementation (which would corrupt perf A/B measurements)."""
+    v = os.environ.get(var, default)
+    if v not in allowed:
+        raise ValueError(
+            f"{var}={v!r} is not a valid choice; pick one of {allowed}")
+    return v
+
+
+upsample_impl = _env_choice("CATGEN_UPSAMPLE_IMPL", "auto", _UPSAMPLE_IMPLS)
+sampler_impl = _env_choice("CATGEN_SAMPLER_IMPL", "auto", _SAMPLER_IMPLS)
+sampler_kernel = _env_choice("CATGEN_SAMPLER_KERNEL", "v4", _SAMPLER_KERNELS)
 # run Pallas kernels in interpret mode (CPU correctness tests of
 # hardware-only code paths, e.g. the fused decoder ladder)
 pallas_interpret = os.environ.get("CATGEN_PALLAS_INTERPRET", "0") == "1"
@@ -37,7 +49,8 @@ fused_ladder = os.environ.get("CATGEN_FUSED_LADDER", "1") == "1"
 # kernel 83.9 ms (its transpose-contraction dots don't map onto the MXU).
 # The parity dX/dW convs run at ~190 TF/s under XLA — the joint VJP is
 # already at roofline, so it stays the default.
-ladder_bwd = os.environ.get("CATGEN_LADDER_BWD", "xla_vjp")
+ladder_bwd = _env_choice("CATGEN_LADDER_BWD", "xla_vjp",
+                         ("xla_vjp", "xla", "pallas"))
 # tiny-cin convolutions (the D models' first conv on the C=3 image):
 # "banded" = row-tap matmuls on the channel-merged image (no batch-minor
 # relayout, kernels/smallcin_conv.py), "xla" = plain conv. Measured at
@@ -46,7 +59,8 @@ ladder_bwd = os.environ.get("CATGEN_LADDER_BWD", "xla_vjp")
 # relayout copies they remove. Default stays xla; the banded path is
 # kept as a tested alternative for hardware where gathers/relayouts are
 # pricier relative to MXU issue rate.
-smallcin_impl = os.environ.get("CATGEN_SMALLCIN_IMPL", "auto")
+smallcin_impl = _env_choice("CATGEN_SMALLCIN_IMPL", "auto",
+                            ("auto", "banded", "xla"))
 # FusedSTBranches localization nets: jointly (one concat conv + one
 # grouped conv, ~2 ms/step faster) or per-branch (reference formulation)
 joint_loc = os.environ.get("CATGEN_JOINT_LOC", "1") == "1"
@@ -58,12 +72,14 @@ joint_loc = os.environ.get("CATGEN_JOINT_LOC", "1") == "1"
 # the fusion LOSES end-to-end despite removing the C=3 layout copies;
 # "auto" therefore resolves to split. The kernel stays selectable and
 # equality-tested (KERNELS.md §2b for the full account).
-st_conv_impl = os.environ.get("CATGEN_ST_CONV", "auto")
+st_conv_impl = _env_choice("CATGEN_ST_CONV", "auto",
+                           ("auto", "fused", "split"))
 st_conv_interpret = False    # tests: run the fused kernel interpreted
 # max-pool backward for the non-overlapping (window == stride) pools:
 # "mask" = reshape + compare + multiply custom VJP (kernels/maxpool.py),
 # "sas" = XLA's select_and_scatter via the reduce_window VJP.
-maxpool_bwd = os.environ.get("CATGEN_MAXPOOL_BWD", "auto")
+maxpool_bwd = _env_choice("CATGEN_MAXPOOL_BWD", "auto",
+                          ("auto", "mask", "sas"))
 # GAN optimizer pipeline representation: "flat" = clamp/L1-L2/update/apply
 # on ONE raveled vector per network (the reference's getParameters
 # flattening, train.lua:184-185), "tree" = per-leaf tree_map. Bit-identical
@@ -74,7 +90,17 @@ maxpool_bwd = os.environ.get("CATGEN_MAXPOOL_BWD", "auto")
 # removes (XLA already horizontally fuses the small optimizer ops into
 # the step's gaps). Default stays tree; flat kept as the tested
 # alternative for models with far more parameter leaves.
-flat_opt = os.environ.get("CATGEN_FLAT_OPT", "auto")
+flat_opt = _env_choice("CATGEN_FLAT_OPT", "auto",
+                       ("auto", "flat", "tree"))
+
+
+# backward of the fused upsample+conv op (pallas_upsample_conv._ucb_bwd):
+# "collapsed" = XLA VJP through the collapsed parity convs (default,
+# measured at roofline), "pallas" = single-pass Pallas dX/dW kernel,
+# "hybrid" = Pallas dX + XLA dW/db, "naive" = VJP through the unfused
+# reference composition (test baseline).
+upsample_bwd = _env_choice("CATGEN_UPSAMPLE_BWD", "collapsed",
+                           ("collapsed", "pallas", "hybrid", "naive"))
 
 
 def resolve_maxpool_bwd() -> str:

@@ -12,12 +12,13 @@ materialized in HBM — at B=1024 a dense M would be 4 GB), then one
 (Ho*Wo, H*W) x (H*W, C) matmul per sample. This mirrors SURVEY.md §7's
 "one-hot matmul for small 32x32 grids is competitive" design note.
 
-The op is differentiable: backward reuses the XLA sampler's VJP (same
-mathematical function), so the kernel is a pure forward-path accelerator
-that can be dropped into the SpatialTransformer via
-``catgen.kernels.config.set_sampler_impl("mxu")`` (the separable v2/v3
-kernels are the measured-fastest default; this dense form is kept as the
-reference implementation).
+The op is differentiable with its own Pallas backward (``_bwd_kernel``,
+registered via custom_vjp below): d_img = M^T @ g and d_coords from four
+corner one-hot matmuls — no scatters anywhere. Selectable via
+``catgen.kernels.config.set_sampler_impl("mxu")`` +
+``CATGEN_SAMPLER_KERNEL=v1``; the lane-wide tiled **v4** kernel is the
+measured-fastest default (KERNELS.md §2), and this dense v1 form is kept
+as the simplest measured baseline.
 """
 
 from __future__ import annotations

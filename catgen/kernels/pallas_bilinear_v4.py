@@ -499,6 +499,9 @@ _DENSE_MAX_HW_BWD = int(os.environ.get("CATGEN_V4_DENSE_BWD_HW", "256"))
 # Measured at bs=512 (full step): mxu 35.9 ms vs vpu 37.2 — the expander
 # matmuls beat the dense iota-compare floor (KERNELS.md §5).
 _DENSE_MASK_IMPL = os.environ.get("CATGEN_V4_DENSE_MASK", "mxu")
+if _DENSE_MASK_IMPL not in ("mxu", "vpu"):
+    raise ValueError(f"CATGEN_V4_DENSE_MASK={_DENSE_MASK_IMPL!r} invalid; "
+                     f"pick 'mxu' or 'vpu'")
 # separable backward as TWO pallas_calls (d_img / d_coords) instead of
 # one: when the sampled image needs no gradient — the D-phase input ST
 # samples the raw data batch — the d_img call has no consumers and DCE

@@ -195,12 +195,17 @@ def upsample2_conv_fused(x: jax.Array, kernel: jax.Array,
                          prelu_alpha: Optional[jax.Array] = None,
                          batch_tile: Optional[int] = None,
                          cout_tile: Optional[int] = None,
-                         interpret: bool = False) -> jax.Array:
+                         interpret: Optional[bool] = None) -> jax.Array:
     """Fused upsample2+conv(+bias)(+PReLU) via one Pallas kernel.
 
     x (N,H,W,Cin), kernel (k,k,Cin,Cout) HWIO odd k. Returns
-    (N,2H,2W,Cout).
+    (N,2H,2W,Cout). ``interpret=None`` resolves to
+    ``config.pallas_interpret`` (CATGEN_PALLAS_INTERPRET), so the
+    per-layer Pallas path is CPU-testable like the fused ladder.
     """
+    if interpret is None:
+        from catgen.kernels import config as _kc
+        interpret = _kc.pallas_interpret
     n, h, w, cin = x.shape
     cout = kernel.shape[-1]
     collapsed, (pt, pb, plft, prt), offsets = _collapsed_weights_and_pads(kernel)
@@ -287,8 +292,8 @@ def _ucb_fwd(x, kernel, bias):
 
 def _ucb_bwd(res, g):
     x, kernel, bias = res
-    import os
-    impl = os.environ.get("CATGEN_UPSAMPLE_BWD", "collapsed")
+    from catgen.kernels import config
+    impl = config.upsample_bwd   # validated at config import
     if impl == "pallas":
         from catgen.kernels.pallas_upsample_conv_bwd import \
             upsample2_conv_backward

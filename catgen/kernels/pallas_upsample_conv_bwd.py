@@ -103,8 +103,14 @@ def _parity_planes(g: jax.Array) -> jax.Array:
 
 
 def upsample2_conv_backward(x: jax.Array, kernel: jax.Array,
-                            g: jax.Array, interpret: bool = False):
-    """Returns (dx, dkernel, dbias) for y = upsample2_conv(x, kernel)+bias."""
+                            g: jax.Array, interpret=None):
+    """Returns (dx, dkernel, dbias) for y = upsample2_conv(x, kernel)+bias.
+
+    ``interpret=None`` resolves to ``config.pallas_interpret`` so the
+    CATGEN_UPSAMPLE_BWD=pallas|hybrid selections are CPU-testable."""
+    if interpret is None:
+        from catgen.kernels import config as _kc
+        interpret = _kc.pallas_interpret
     n, h, w, cin = x.shape
     cout = kernel.shape[-1]
     k_h, k_w = kernel.shape[0], kernel.shape[1]

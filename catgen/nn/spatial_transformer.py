@@ -8,7 +8,8 @@ sampler to the **CPU** because the GPU path was non-deterministic
 (models.lua:888-896). Here the whole stack is pure XLA (vectorized gathers +
 lerp), deterministic on TPU by construction, and differentiable w.r.t. both
 image and grid. A Pallas one-hot-matmul variant of the sampler lives in
-``catgen.kernels.bilinear`` for the MXU-friendly path.
+``catgen.kernels.pallas_bilinear`` (v1; v2-v4 siblings, v4 the default —
+kernels/config.py) for the MXU-friendly path.
 
 Conventions (matching torch-stn semantics):
   * normalized coords in [-1, 1], align-corners (−1 ↔ pixel 0, +1 ↔ pixel
@@ -318,6 +319,10 @@ class FusedSTBranches(Module):
         if conv1.strides != (1, 1) or conv2.strides != (1, 1) or \
                 conv1.padding != (1, 1) or conv2.padding != (1, 1):
             raise NotImplementedError("joint loc path assumes same-conv 3x3")
+        if not (conv1.use_bias and conv2.use_bias and dense.use_bias):
+            raise NotImplementedError(
+                "joint loc path reads 'bias' params; set CATGEN_JOINT_LOC=0 "
+                "for bias-free localization nets")
         names = {k: seq._child_name(i)
                  for k, i in (("conv1", 1), ("conv2", 3), ("dense", 7))}
         return names, act1.negative_slope
@@ -463,6 +468,7 @@ class FusedSTConvPReLU(Module):
         return (self.conv.kernel_size == (3, 3)
                 and self.conv.strides == (1, 1)
                 and self.conv.padding == (1, 1)
+                and self.conv.use_bias      # fused epilogue reads "bias"
                 and x.shape[1] > 2 and x.shape[2] > 2)
 
     def apply(self, variables, x, *, train=False, rng=None):
