@@ -77,7 +77,10 @@ st_conv_impl = _env_choice("CATGEN_ST_CONV", "auto",
 st_conv_interpret = False    # tests: run the fused kernel interpreted
 # max-pool backward for the non-overlapping (window == stride) pools:
 # "mask" = reshape + compare + multiply custom VJP (kernels/maxpool.py),
-# "sas" = XLA's select_and_scatter via the reduce_window VJP.
+# "sas" = XLA's select_and_scatter via the reduce_window VJP. Measured
+# at bs=512 (full step, tools/perf_probe.py): sas 35.45 ms/iter vs mask
+# 35.47 — a tie; the ~0.5 ms select_and_scatter is hidden by XLA
+# overlap, so "auto" stays sas (KERNELS.md §2c).
 maxpool_bwd = _env_choice("CATGEN_MAXPOOL_BWD", "auto",
                           ("auto", "mask", "sas"))
 # GAN optimizer pipeline representation: "flat" = clamp/L1-L2/update/apply

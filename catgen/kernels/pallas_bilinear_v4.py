@@ -507,7 +507,9 @@ if _DENSE_MASK_IMPL not in ("mxu", "vpu"):
 # samples the raw data batch — the d_img call has no consumers and DCE
 # removes it entirely (a monolithic kernel's dead output can't be
 # eliminated). Costs a duplicated mask build when BOTH cotangents are
-# live (the G phase); A/B in KERNELS.md (default set by measurement).
+# live (the G phase). Measured at bs=512 (full step): monolithic 35.45
+# ms/iter vs split 36.29 — the duplicated G-phase build outweighs the
+# one D-phase DCE win, so the default stays 0 (KERNELS.md §2c).
 _SPLIT_BWD = os.environ.get("CATGEN_V4_SPLIT_BWD", "0") == "1"
 if _SPLIT_BWD and _DENSE_MASK_IMPL == "vpu":
     import warnings
