@@ -80,7 +80,11 @@ st_conv_interpret = False    # tests: run the fused kernel interpreted
 # "sas" = XLA's select_and_scatter via the reduce_window VJP. Measured
 # at bs=512 (full step, tools/perf_probe.py): sas 35.45 ms/iter vs mask
 # 35.47 — a tie; the ~0.5 ms select_and_scatter is hidden by XLA
-# overlap, so "auto" stays sas (KERNELS.md §2c).
+# overlap, so "auto" stays sas (KERNELS.md §2c). Measurement-method
+# caveat: these are probe WALL times (k=20, ~±0.3 ms repeatability) —
+# a 0.02 ms delta is far inside the noise floor, so this records "no
+# measurable difference", not a ranking; device-trace A/Bs are the
+# repo's discipline for deltas that matter (CLAUDE.md).
 maxpool_bwd = _env_choice("CATGEN_MAXPOOL_BWD", "auto",
                           ("auto", "mask", "sas"))
 # GAN optimizer pipeline representation: "flat" = clamp/L1-L2/update/apply
