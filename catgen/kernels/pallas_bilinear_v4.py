@@ -89,6 +89,18 @@ def _mask_t(i0, wgt, size, bt, pt, d=False):
     return (m0 + wgt[:, None, :] * (m1 - m0)).astype(jnp.bfloat16)
 
 
+def _dmask_rows(i0, size, bt, pt):
+    """Row-layout derivative mask: (bt, pt, size) f32 with
+    d[p, i] = [i == i0+1] - [i == i0]. Lane dim = size (narrow, pads to
+    128 lanes) — used by the 'eyt' d_coords formulation to reduce a
+    per-axis (bt, pt, size) sum, far smaller than the (bt, pt, h*w)
+    dense derivative masks it replaces."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bt, pt, size), 2)
+    i0b = i0[..., None]
+    return ((lane == i0b + 1).astype(jnp.float32)
+            - (lane == i0b).astype(jnp.float32))
+
+
 def _contract_t(mask_t, rhs):
     """(bt, k, pt) x (bt, k, n) -> (bt, pt, n) bf16: batched matmul with
     the contraction dim in sublanes of the LHS (MXU takes transposed LHS).
@@ -139,9 +151,22 @@ def _fwd_kernel(h: int, w: int, c: int, bt: int, pt: int):
     return kernel_fn
 
 
-def _bwd_kernel(h: int, w: int, c: int, bt: int, pt: int):
-    def kernel_fn(img_ref, crd_ref, g_ref, e_ref, st_ref,
-                  dimg_ref, dcrd_ref):
+def _dfx_sep_eyt(x0, tg, w, bt, pt, et_ref):
+    """'eyt' separable dfx: collapse the (bt, pt, w*c) product tg down to
+    per-x sums with one full-K (K=w*c) matmul against Eᵀ, then reduce a
+    narrow (bt, pt, w) product — replaces the dB expander dot, a wide
+    multiply and a w*c-lane VPU reduction (KERNELS.md §2d)."""
+    u = jax.lax.dot_general(                             # (bt, pt, w) f32
+        tg, et_ref[:],
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return jnp.sum(_dmask_rows(x0, w, bt, pt) * u, axis=2)
+
+
+def _bwd_kernel(h: int, w: int, c: int, bt: int, pt: int,
+                dcrd: str = "mask"):
+    def kernel_fn(img_ref, crd_ref, g_ref, e_ref, st_ref, *rest):
+        dimg_ref, dcrd_ref = rest[-2], rest[-1]
         j = pl.program_id(1)
         crd = crd_ref[:].astype(jnp.float32)
         y0, x0, wy, wx, in_y, in_x = _weights_rows(
@@ -180,12 +205,66 @@ def _bwd_kernel(h: int, w: int, c: int, bt: int, pt: int):
         # dfx: sum_xc (dB @ E) * (t * g_exp)
         t = _contract_t(a_t, img_ref[:])                 # (bt, pt, wc)
         tg = t * g_exp
-        db_exp = _expand(_mask_t(x0, wx, w, bt, pt, d=True), e_ref)
-        dfx = jnp.sum((db_exp * tg).astype(jnp.float32), axis=2)
+        if dcrd == "eyt":
+            dfx = _dfx_sep_eyt(x0, tg, w, bt, pt, rest[0])
+        else:
+            db_exp = _expand(_mask_t(x0, wx, w, bt, pt, d=True), e_ref)
+            dfx = jnp.sum((db_exp * tg).astype(jnp.float32), axis=2)
 
         dy = dfy * in_y * (0.5 * (h - 1))
         dx = dfx * in_x * (0.5 * (w - 1))
         dcrd_ref[:] = jnp.stack([dy, dx], axis=1).astype(dcrd_ref.dtype)
+
+    return kernel_fn
+
+
+def _fwd_kernel_res(h: int, w: int, c: int, bt: int, pt: int):
+    """Residual-emitting separable forward: also writes the transposed
+    per-axis bilinear weights A (bt, h, pt) / B (bt, w, pt) bf16 for the
+    VJP to replay (VERDICT r3 item 1)."""
+    def kernel_fn(img_ref, crd_ref, e_ref, s_ref, out_ref, at_ref, bt_ref):
+        crd = crd_ref[:].astype(jnp.float32)
+        y0, x0, wy, wx, _, _ = _weights_rows(crd[:, 0, :], crd[:, 1, :],
+                                             h, w)
+        a_t = _mask_t(y0, wy, h, bt, pt)                 # (bt, h, pt)
+        at_ref[:] = a_t
+        t = _contract_t(a_t, img_ref[:])                 # (bt, pt, wc)
+        b_t = _mask_t(x0, wx, w, bt, pt)                 # (bt, w, pt)
+        bt_ref[:] = b_t
+        b_exp = _expand(b_t, e_ref)                      # (bt, pt, wc)
+        out = jax.lax.dot_general(                       # (bt, pt, c) f32
+            b_exp * t, s_ref[:],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out_ref[:] = out.astype(out_ref.dtype)
+
+    return kernel_fn
+
+
+def _bwd_kernel_res_dimg(h: int, w: int, c: int, bt: int, pt: int):
+    """d_img from the SAVED separable weights A/B — skips the coord
+    decode + mask builds. Split from d_coords so the D-phase input ST
+    (dead image gradient) DCEs this call."""
+    def kernel_fn(at_ref, btm_ref, g_ref, e_ref, st_ref, dimg_ref):
+        j = pl.program_id(1)
+        b_exp = _expand(btm_ref[:], e_ref)               # (bt, pt, wc)
+        g_exp = jax.lax.dot_general(                     # (bt, pt, wc)
+            g_ref[:].astype(jnp.bfloat16), st_ref[:],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        bgb = b_exp * g_exp
+        contrib = jax.lax.dot_general(                   # (bt, h, wc) f32
+            at_ref[:], bgb,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+
+        @pl.when(j == 0)
+        def _init():
+            dimg_ref[:] = contrib
+
+        @pl.when(j > 0)
+        def _acc():
+            dimg_ref[:] = dimg_ref[:] + contrib
 
     return kernel_fn
 
@@ -228,12 +307,14 @@ def _bwd_kernel_dimg(h: int, w: int, c: int, bt: int, pt: int):
     return kernel_fn
 
 
-def _bwd_kernel_dcrd(h: int, w: int, c: int, bt: int, pt: int):
+def _bwd_kernel_dcrd(h: int, w: int, c: int, bt: int, pt: int,
+                     dcrd: str = "mask"):
     """d_coords half of the split separable backward. With the revisited
     d_img accumulator gone, both grid dimensions are parallel (better
     pipelining) and the f32 accumulator block drops out of the VMEM
     working set."""
-    def kernel_fn(img_ref, crd_ref, g_ref, e_ref, st_ref, dcrd_ref):
+    def kernel_fn(img_ref, crd_ref, g_ref, e_ref, st_ref, *rest):
+        dcrd_ref = rest[-1]
         crd = crd_ref[:].astype(jnp.float32)
         y0, x0, wy, wx, in_y, in_x = _weights_rows(
             crd[:, 0, :], crd[:, 1, :], h, w)
@@ -258,8 +339,11 @@ def _bwd_kernel_dcrd(h: int, w: int, c: int, bt: int, pt: int):
         # dfx: sum_xc (dB @ E) * (t * g_exp)
         t = _contract_t(a_t, img_ref[:])                 # (bt, pt, wc)
         tg = t * g_exp
-        db_exp = _expand(_mask_t(x0, wx, w, bt, pt, d=True), e_ref)
-        dfx = jnp.sum((db_exp * tg).astype(jnp.float32), axis=2)
+        if dcrd == "eyt":
+            dfx = _dfx_sep_eyt(x0, tg, w, bt, pt, rest[0])
+        else:
+            db_exp = _expand(_mask_t(x0, wx, w, bt, pt, d=True), e_ref)
+            dfx = jnp.sum((db_exp * tg).astype(jnp.float32), axis=2)
 
         dy = dfy * in_y * (0.5 * (h - 1))
         dx = dfx * in_x * (0.5 * (w - 1))
@@ -280,6 +364,23 @@ def _axis_expanders(h: int, w: int):
     for x in range(w):
         ex[x, x::w] = 1.0
     return jnp.asarray(ey, jnp.bfloat16), jnp.asarray(ex, jnp.bfloat16)
+
+
+def _axis_collapsers(h: int, w: int):
+    """Transposed expanders for the 'eyt' d_coords formulation:
+    EyT (h*w, h) / ExT (h*w, w) — contract an (.., h*w) lane tensor down
+    to per-axis sums with ONE full-K (K = h*w) matmul instead of
+    materializing (.., h*w) derivative masks. f32: the collapsed operand
+    (mask * imgg) is f32 and the entries are exactly 1.0, so the dot
+    stays lossless."""
+    import numpy as np
+    eyt = np.zeros((h * w, h), np.float32)
+    ext = np.zeros((h * w, w), np.float32)
+    for y in range(h):
+        eyt[y * w:(y + 1) * w, y] = 1.0
+    for x in range(w):
+        ext[x::w, x] = 1.0
+    return jnp.asarray(eyt), jnp.asarray(ext)
 
 
 def _dense_mask_parts_mxu(y0, x0, wy, wx, h, w, bt, pt, ey_ref, ex_ref,
@@ -395,6 +496,31 @@ def _dense_bwd_kernel(h: int, w: int, c: int, bt: int, pt: int):
     return kernel_fn
 
 
+def _dcrd_dense_eyt(y0, x0, imgg, my, mx, h, w, bt, pt, eyt_ref, ext_ref):
+    """'eyt' dense d_coords: instead of expanding TWO (bt, pt, h*w) f32
+    derivative masks and reducing their triple products on the VPU,
+    contract (mask * imgg) against the transposed one-hot expanders with
+    one full-K (K=h*w) f32 matmul per axis, then reduce a narrow
+    (bt, pt, h|w) product:
+
+        dfy[p] = sum_y dA[p,y] * (sum_x mx[p,yx] * imgg[p,yx])
+               = sum_y dA[p,y] * ((mx*imgg) @ EyT)[p,y]
+
+    Removes 2 expander dots, 2 wide f32 temporaries and 2 h*w-lane VPU
+    reductions from the critical path (A/B in KERNELS.md §2d)."""
+    u = jax.lax.dot_general(                             # (bt, pt, h) f32
+        mx * imgg, eyt_ref[:],
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    v = jax.lax.dot_general(                             # (bt, pt, w) f32
+        my * imgg, ext_ref[:],
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dfy = jnp.sum(_dmask_rows(y0, h, bt, pt) * u, axis=2)
+    dfx = jnp.sum(_dmask_rows(x0, w, bt, pt) * v, axis=2)
+    return dfy, dfx
+
+
 def _dense_bwd_kernel_mxu_dimg(h: int, w: int, c: int, bt: int, pt: int):
     """d_img half of the split dense backward (see _bwd_kernel_dimg)."""
     def kernel_fn(img_ref, crd_ref, g_ref, ey_ref, ex_ref, dimg_ref):
@@ -421,22 +547,31 @@ def _dense_bwd_kernel_mxu_dimg(h: int, w: int, c: int, bt: int, pt: int):
     return kernel_fn
 
 
-def _dense_bwd_kernel_mxu_dcrd(h: int, w: int, c: int, bt: int, pt: int):
+def _dense_bwd_kernel_mxu_dcrd(h: int, w: int, c: int, bt: int, pt: int,
+                               dcrd: str = "mask"):
     """d_coords half of the split dense backward: no revisited f32
-    accumulator, both grid dims parallel."""
-    def kernel_fn(img_ref, crd_ref, g_ref, ey_ref, ex_ref, dcrd_ref):
+    accumulator, both grid dims parallel. dcrd='eyt' takes two extra
+    collapser refs (see _dcrd_dense_eyt)."""
+    def kernel_fn(img_ref, crd_ref, g_ref, ey_ref, ex_ref, *rest):
+        dcrd_ref = rest[-1]
         crd = crd_ref[:].astype(jnp.float32)
         y0, x0, wy, wx, in_y, in_x = _weights_rows(
             crd[:, 0, :], crd[:, 1, :], h, w)
         g = g_ref[:].astype(jnp.bfloat16)
         my, mx, dmy, dmx = _dense_mask_parts_mxu(
-            y0, x0, wy, wx, h, w, bt, pt, ey_ref, ex_ref, derivs=True)
+            y0, x0, wy, wx, h, w, bt, pt, ey_ref, ex_ref,
+            derivs=(dcrd == "mask"))
         imgg = jax.lax.dot_general(
             g, img_ref[:].astype(jnp.bfloat16),
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
-        dfy = jnp.sum(dmy * mx * imgg, axis=2)
-        dfx = jnp.sum(my * dmx * imgg, axis=2)
+        if dcrd == "eyt":
+            eyt_ref, ext_ref = rest[0], rest[1]
+            dfy, dfx = _dcrd_dense_eyt(y0, x0, imgg, my, mx, h, w, bt, pt,
+                                       eyt_ref, ext_ref)
+        else:
+            dfy = jnp.sum(dmy * mx * imgg, axis=2)
+            dfx = jnp.sum(my * dmx * imgg, axis=2)
 
         dy = dfy * in_y * (0.5 * (h - 1))
         dx = dfx * in_x * (0.5 * (w - 1))
@@ -445,9 +580,10 @@ def _dense_bwd_kernel_mxu_dcrd(h: int, w: int, c: int, bt: int, pt: int):
     return kernel_fn
 
 
-def _dense_bwd_kernel_mxu(h: int, w: int, c: int, bt: int, pt: int):
-    def kernel_fn(img_ref, crd_ref, g_ref, ey_ref, ex_ref,
-                  dimg_ref, dcrd_ref):
+def _dense_bwd_kernel_mxu(h: int, w: int, c: int, bt: int, pt: int,
+                          dcrd: str = "mask"):
+    def kernel_fn(img_ref, crd_ref, g_ref, ey_ref, ex_ref, *rest):
+        dimg_ref, dcrd_ref = rest[-2], rest[-1]
         j = pl.program_id(1)
         crd = crd_ref[:].astype(jnp.float32)
         y0, x0, wy, wx, in_y, in_x = _weights_rows(
@@ -455,7 +591,8 @@ def _dense_bwd_kernel_mxu(h: int, w: int, c: int, bt: int, pt: int):
         g = g_ref[:].astype(jnp.bfloat16)
 
         my, mx, dmy, dmx = _dense_mask_parts_mxu(
-            y0, x0, wy, wx, h, w, bt, pt, ey_ref, ex_ref, derivs=True)
+            y0, x0, wy, wx, h, w, bt, pt, ey_ref, ex_ref,
+            derivs=(dcrd == "mask"))
         contrib = jax.lax.dot_general(
             (my * mx).astype(jnp.bfloat16), g,
             dimension_numbers=(((1,), (1,)), ((0,), (0,))),
@@ -473,12 +610,61 @@ def _dense_bwd_kernel_mxu(h: int, w: int, c: int, bt: int, pt: int):
             g, img_ref[:].astype(jnp.bfloat16),
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
-        dfy = jnp.sum(dmy * mx * imgg, axis=2)
-        dfx = jnp.sum(my * dmx * imgg, axis=2)
+        if dcrd == "eyt":
+            eyt_ref, ext_ref = rest[0], rest[1]
+            dfy, dfx = _dcrd_dense_eyt(y0, x0, imgg, my, mx, h, w, bt, pt,
+                                       eyt_ref, ext_ref)
+        else:
+            dfy = jnp.sum(dmy * mx * imgg, axis=2)
+            dfx = jnp.sum(my * dmx * imgg, axis=2)
 
         dy = dfy * in_y * (0.5 * (h - 1))
         dx = dfx * in_x * (0.5 * (w - 1))
         dcrd_ref[:] = jnp.stack([dy, dx], axis=1).astype(dcrd_ref.dtype)
+
+    return kernel_fn
+
+
+def _dense_fwd_kernel_mxu_res(h: int, w: int, c: int, bt: int, pt: int):
+    """Residual-emitting dense forward (CATGEN_V4_RESIDUAL=1): also
+    writes the bf16 bilinear weight matrix M (bt, pt, h*w) so the VJP
+    can replay it instead of rebuilding (VERDICT r3 item 1 — trades
+    HBM traffic for the backward's mask-build VPU/MXU work)."""
+    def kernel_fn(img_ref, crd_ref, ey_ref, ex_ref, out_ref, m_ref):
+        crd = crd_ref[:].astype(jnp.float32)
+        y0, x0, wy, wx, _, _ = _weights_rows(crd[:, 0, :], crd[:, 1, :],
+                                             h, w)
+        my, mx, _, _ = _dense_mask_parts_mxu(y0, x0, wy, wx, h, w, bt, pt,
+                                             ey_ref, ex_ref, derivs=False)
+        m = (my * mx).astype(jnp.bfloat16)
+        m_ref[:] = m
+        out = jax.lax.dot_general(
+            m, img_ref[:].astype(jnp.bfloat16),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        out_ref[:] = out.astype(out_ref.dtype)
+
+    return kernel_fn
+
+
+def _dense_bwd_kernel_res_dimg(h: int, w: int, c: int, bt: int, pt: int):
+    """d_img from the SAVED forward mask M: one transposed contraction,
+    zero mask building. Split from d_coords so the D-phase input ST
+    (dead image gradient) DCEs this call entirely."""
+    def kernel_fn(m_ref, g_ref, dimg_ref):
+        j = pl.program_id(1)
+        contrib = jax.lax.dot_general(
+            m_ref[:], g_ref[:].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+
+        @pl.when(j == 0)
+        def _init():
+            dimg_ref[:] = contrib
+
+        @pl.when(j > 0)
+        def _acc():
+            dimg_ref[:] = dimg_ref[:] + contrib
 
     return kernel_fn
 
@@ -511,6 +697,27 @@ if _DENSE_MASK_IMPL not in ("mxu", "vpu"):
 # ms/iter vs split 36.29 — the duplicated G-phase build outweighs the
 # one D-phase DCE win, so the default stays 0 (KERNELS.md §2c).
 _SPLIT_BWD = os.environ.get("CATGEN_V4_SPLIT_BWD", "0") == "1"
+# d_coords formulation inside the backward kernels: "mask" = expand
+# per-axis derivative masks to (., h*w) / (., w*c) and reduce the triple
+# product on the VPU (round-3 formulation); "eyt" = contract
+# (value-mask * imgg) against transposed one-hot expanders with one
+# full-K matmul per axis, then reduce a narrow (., h|w) product — no
+# wide derivative masks materialized at all (_dcrd_dense_eyt /
+# _dfx_sep_eyt). Applies to the mxu dense path and the separable path;
+# the vpu dense path keeps its round-2 mask formulation as the baseline.
+_DCRD_IMPL = os.environ.get("CATGEN_V4_DCRD", "mask")
+if _DCRD_IMPL not in ("mask", "eyt"):
+    raise ValueError(f"CATGEN_V4_DCRD={_DCRD_IMPL!r} invalid; "
+                     f"pick 'mask' or 'eyt'")
+# residual-reuse backward (VERDICT r3 item 1): the forward also emits its
+# bilinear weight products (dense M (N,P,HW) bf16, or separable A/B
+# transposed weights) as custom-VJP residuals; the backward replays them
+# for d_img instead of rebuilding masks from coords, and — because the
+# d_img half is then its own pallas_call — a dead image gradient (the
+# D-phase input ST samples the *data* batch) DCEs the whole call without
+# the split-bwd duplicate-mask-build penalty. Trades HBM traffic
+# (write+read of the saved masks) for the backward's mask-build work.
+_RESIDUAL = os.environ.get("CATGEN_V4_RESIDUAL", "0") == "1"
 if _SPLIT_BWD and _DENSE_MASK_IMPL == "vpu":
     import warnings
     warnings.warn(
@@ -528,11 +735,13 @@ V4_VMEM_LIMIT = 64 * 1024 * 1024
 V4_BUDGET = 40 * 1024 * 1024
 
 
-def _dense_tiles(n: int, p: int, h: int, w: int, c: int, bwd: bool):
+def _dense_tiles(n: int, p: int, h: int, w: int, c: int, bwd: bool,
+                 res: bool = False):
     hw_pad = max(((h * w + 127) // 128) * 128, 128)
     # bwd: 4 f32 mask parts + m (bf16) + the f32 imgg + iota staging;
-    # fwd: 2 f32 mask parts + m (bf16) + iota staging
-    bytes_per_row = (26 if bwd else 14) * hw_pad + 4 * 128
+    # fwd: 2 f32 mask parts + m (bf16) + iota staging; res fwd adds the
+    # double-buffered bf16 M output block
+    bytes_per_row = (26 if bwd else (18 if res else 14)) * hw_pad + 4 * 128
     budget = V4_BUDGET
     rows = max(budget // bytes_per_row, 128)
     pt = p
@@ -545,7 +754,8 @@ def _dense_tiles(n: int, p: int, h: int, w: int, c: int, bwd: bool):
     return bt, pt
 
 
-def _tiles(n: int, p: int, h: int, w: int, c: int, bwd: bool):
+def _tiles(n: int, p: int, h: int, w: int, c: int, bwd: bool,
+           res: bool = False):
     """(bt, pt): maximize matmul rows per block within the VMEM budget.
 
     Row cost counts the (rows, W*C)-shaped bf16 temporaries (lane-padded)
@@ -553,7 +763,7 @@ def _tiles(n: int, p: int, h: int, w: int, c: int, bwd: bool):
     masks scale with bt / small dims and are charged separately."""
     wc_pad = max(((w * c + 127) // 128) * 128, 128)
     big = 3 if not bwd else 5
-    bytes_per_row = big * 2 * wc_pad + 4 * 128
+    bytes_per_row = big * 2 * wc_pad + 4 * 128 + (2 * (h + w) if res else 0)
     budget = V4_BUDGET
     rows = max(budget // bytes_per_row, 128)
 
@@ -573,13 +783,16 @@ def _tiles(n: int, p: int, h: int, w: int, c: int, bwd: bool):
     return bt, pt
 
 
-def _forward(img, coords_rows, out_hw, interpret):
+def _forward(img, coords_rows, out_hw, interpret, want_res=False):
+    """want_res=True (the CATGEN_V4_RESIDUAL fwd under jax.vjp): returns
+    (out, saved) where saved is the dense M (n, p, h*w) bf16 or the
+    separable (a_t (n, h, p), b_t (n, w, p)) bf16 pair."""
     n, h, w, c = img.shape
     ho, wo = out_hw
     p = ho * wo
     assert coords_rows.shape == (n, 2, p), (coords_rows.shape, (n, 2, p))
     if h * w <= _DENSE_MAX_HW:
-        bt, pt = _dense_tiles(n, p, h, w, c, bwd=False)
+        bt, pt = _dense_tiles(n, p, h, w, c, bwd=False, res=want_res)
         in_specs = [
             pl.BlockSpec((bt, h * w, c), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -587,7 +800,7 @@ def _forward(img, coords_rows, out_hw, interpret):
                          memory_space=pltpu.VMEM),
         ]
         operands = [img.reshape(n, h * w, c), coords_rows]
-        if _DENSE_MASK_IMPL == "mxu":
+        if _DENSE_MASK_IMPL == "mxu" or want_res:
             ey, ex = _axis_expanders(h, w)
             in_specs += [
                 pl.BlockSpec((h, h * w), lambda i, j: (0, 0),
@@ -596,27 +809,52 @@ def _forward(img, coords_rows, out_hw, interpret):
                              memory_space=pltpu.VMEM),
             ]
             operands += [ey, ex]
-            kernel = _dense_fwd_kernel_mxu(h, w, c, bt, pt)
+            kernel = (_dense_fwd_kernel_mxu_res(h, w, c, bt, pt) if want_res
+                      else _dense_fwd_kernel_mxu(h, w, c, bt, pt))
         else:
             kernel = _dense_fwd_kernel(h, w, c, bt, pt)
+        out_specs = pl.BlockSpec((bt, pt, c), lambda i, j: (i, j, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((n, p, c), img.dtype)
+        if want_res:
+            out_specs = (out_specs,
+                         pl.BlockSpec((bt, pt, h * w), lambda i, j: (i, j, 0),
+                                      memory_space=pltpu.VMEM))
+            out_shape = (out_shape,
+                         jax.ShapeDtypeStruct((n, p, h * w), jnp.bfloat16))
         out = pl.pallas_call(
             kernel,
             grid=(n // bt, p // pt),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((bt, pt, c), lambda i, j: (i, j, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n, p, c), img.dtype),
+            out_specs=out_specs,
+            out_shape=out_shape,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel"),
                 vmem_limit_bytes=V4_VMEM_LIMIT),
             interpret=interpret,
         )(*operands)
+        if want_res:
+            out, m = out
+            return out.reshape(n, ho, wo, c), m
         return out.reshape(n, ho, wo, c)
-    bt, pt = _tiles(n, p, h, w, c, bwd=False)
+    bt, pt = _tiles(n, p, h, w, c, bwd=False, res=want_res)
     e, s = _expanders(w, c)
     img_h = img.reshape(n, h, w * c)                     # free reshape
+    out_specs = pl.BlockSpec((bt, pt, c), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((n, p, c), img.dtype)
+    if want_res:
+        out_specs = (out_specs,
+                     pl.BlockSpec((bt, h, pt), lambda i, j: (i, 0, j),
+                                  memory_space=pltpu.VMEM),
+                     pl.BlockSpec((bt, w, pt), lambda i, j: (i, 0, j),
+                                  memory_space=pltpu.VMEM))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((n, h, p), jnp.bfloat16),
+                     jax.ShapeDtypeStruct((n, w, p), jnp.bfloat16))
     out = pl.pallas_call(
-        _fwd_kernel(h, w, c, bt, pt),
+        _fwd_kernel_res(h, w, c, bt, pt) if want_res
+        else _fwd_kernel(h, w, c, bt, pt),
         grid=(n // bt, p // pt),
         in_specs=[
             pl.BlockSpec((bt, h, w * c), lambda i, j: (i, 0, 0),
@@ -628,14 +866,16 @@ def _forward(img, coords_rows, out_hw, interpret):
             pl.BlockSpec((w * c, c), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bt, pt, c), lambda i, j: (i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, p, c), img.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=V4_VMEM_LIMIT),
         interpret=interpret,
     )(img_h, coords_rows, e, s)
+    if want_res:
+        out, a_t, b_t = out
+        return out.reshape(n, ho, wo, c), (a_t, b_t)
     return out.reshape(n, ho, wo, c)
 
 
@@ -653,11 +893,16 @@ def bilinear_sample_rows(img: jax.Array, coords_rows: jax.Array,
 
 
 def _fwd(img, coords_rows, out_hw, interpret):
-    return _forward(img, coords_rows, out_hw, interpret), (img, coords_rows)
+    if _RESIDUAL:
+        out, saved = _forward(img, coords_rows, out_hw, interpret,
+                              want_res=True)
+        return out, (img, coords_rows, saved)
+    return (_forward(img, coords_rows, out_hw, interpret),
+            (img, coords_rows, None))
 
 
 def _bwd(out_hw, interpret, res, g):
-    img, coords_rows = res
+    img, coords_rows, saved = res
     n, h, w, c = img.shape
     ho, wo = out_hw
     p = ho * wo
@@ -671,9 +916,9 @@ def _bwd(out_hw, interpret, res, g):
             pl.BlockSpec((bt, pt, c), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ]
-        operands = [img.reshape(n, h * w, c), coords_rows,
-                    g.reshape(n, p, c)]
-        if _DENSE_MASK_IMPL == "mxu":
+        g2 = g.reshape(n, p, c)
+        operands = [img.reshape(n, h * w, c), coords_rows, g2]
+        if _DENSE_MASK_IMPL == "mxu" or saved is not None:
             ey, ex = _axis_expanders(h, w)
             in_specs += [
                 pl.BlockSpec((h, h * w), lambda i, j: (0, 0),
@@ -682,7 +927,59 @@ def _bwd(out_hw, interpret, res, g):
                              memory_space=pltpu.VMEM),
             ]
             operands += [ey, ex]
-            kernel = _dense_bwd_kernel_mxu(h, w, c, bt, pt)
+            extra_specs, extra_ops = [], []
+            if _DCRD_IMPL == "eyt":
+                eyt, ext = _axis_collapsers(h, w)
+                extra_specs = [
+                    pl.BlockSpec((h * w, h), lambda i, j: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((h * w, w), lambda i, j: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                ]
+                extra_ops = [eyt, ext]
+            dcrd_call = functools.partial(
+                pl.pallas_call,
+                _dense_bwd_kernel_mxu_dcrd(h, w, c, bt, pt,
+                                           dcrd=_DCRD_IMPL),
+                grid=(n // bt, p // pt),
+                in_specs=in_specs + extra_specs,
+                out_specs=pl.BlockSpec(
+                    (bt, 2, pt), lambda i, j: (i, 0, j),
+                    memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((n, 2, p),
+                                               coords_rows.dtype),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "parallel"),
+                    vmem_limit_bytes=V4_VMEM_LIMIT),
+                interpret=interpret)
+            if saved is not None:
+                # residual path: d_img straight from the saved M; d_coords
+                # rebuilds per-axis masks from coords (M = my*mx cannot be
+                # factored back into the per-axis values dfy/dfx need).
+                m = saved
+                dimg_f = pl.pallas_call(
+                    _dense_bwd_kernel_res_dimg(h, w, c, bt, pt),
+                    grid=(n // bt, p // pt),
+                    in_specs=[
+                        pl.BlockSpec((bt, pt, h * w),
+                                     lambda i, j: (i, j, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((bt, pt, c), lambda i, j: (i, j, 0),
+                                     memory_space=pltpu.VMEM),
+                    ],
+                    out_specs=pl.BlockSpec(
+                        (bt, h * w, c), lambda i, j: (i, 0, 0),
+                        memory_space=pltpu.VMEM),
+                    out_shape=jax.ShapeDtypeStruct((n, h * w, c),
+                                                   jnp.float32),
+                    compiler_params=pltpu.CompilerParams(
+                        dimension_semantics=("parallel", "arbitrary"),
+                        vmem_limit_bytes=V4_VMEM_LIMIT),
+                    interpret=interpret,
+                )(m, g2)
+                dcrd = dcrd_call()(*operands, *extra_ops)
+                return (dimg_f.reshape(n, h, w, c).astype(img.dtype),
+                        dcrd)
             if _SPLIT_BWD:
                 dimg_f = pl.pallas_call(
                     _dense_bwd_kernel_mxu_dimg(h, w, c, bt, pt),
@@ -698,22 +995,13 @@ def _bwd(out_hw, interpret, res, g):
                         vmem_limit_bytes=V4_VMEM_LIMIT),
                     interpret=interpret,
                 )(*operands)
-                dcrd = pl.pallas_call(
-                    _dense_bwd_kernel_mxu_dcrd(h, w, c, bt, pt),
-                    grid=(n // bt, p // pt),
-                    in_specs=in_specs,
-                    out_specs=pl.BlockSpec(
-                        (bt, 2, pt), lambda i, j: (i, 0, j),
-                        memory_space=pltpu.VMEM),
-                    out_shape=jax.ShapeDtypeStruct((n, 2, p),
-                                                   coords_rows.dtype),
-                    compiler_params=pltpu.CompilerParams(
-                        dimension_semantics=("parallel", "parallel"),
-                        vmem_limit_bytes=V4_VMEM_LIMIT),
-                    interpret=interpret,
-                )(*operands)
+                dcrd = dcrd_call()(*operands, *extra_ops)
                 return (dimg_f.reshape(n, h, w, c).astype(img.dtype),
                         dcrd)
+            kernel = _dense_bwd_kernel_mxu(h, w, c, bt, pt,
+                                           dcrd=_DCRD_IMPL)
+            in_specs = in_specs + extra_specs
+            operands = operands + extra_ops
         else:
             kernel = _dense_bwd_kernel(h, w, c, bt, pt)
         dimg_f, dcrd = pl.pallas_call(
@@ -740,20 +1028,67 @@ def _bwd(out_hw, interpret, res, g):
     e, s = _expanders(w, c)
     img_h = img.reshape(n, h, w * c)
     g2 = g.reshape(n, p, c)
+    in_specs = [
+        pl.BlockSpec((bt, h, w * c), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bt, 2, pt), lambda i, j: (i, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bt, pt, c), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((w, w * c), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((c, w * c), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [img_h, coords_rows, g2, e, s.T]
+    extra_specs, extra_ops = [], []
+    if _DCRD_IMPL == "eyt":
+        extra_specs = [pl.BlockSpec((w * c, w), lambda i, j: (0, 0),
+                                    memory_space=pltpu.VMEM)]
+        extra_ops = [e.T]
+    dcrd_call = functools.partial(
+        pl.pallas_call,
+        _bwd_kernel_dcrd(h, w, c, bt, pt, dcrd=_DCRD_IMPL),
+        grid=(n // bt, p // pt),
+        in_specs=in_specs + extra_specs,
+        out_specs=pl.BlockSpec((bt, 2, pt), lambda i, j: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 2, p), coords_rows.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=V4_VMEM_LIMIT),
+        interpret=interpret)
+    if saved is not None:
+        # residual path: d_img replays the saved A/B transposed weights;
+        # d_coords rebuilds from coords (its derivative masks aren't
+        # derivable from A/B where the fractional weight is exactly 0).
+        a_t, b_tm = saved
+        dimg_h = pl.pallas_call(
+            _bwd_kernel_res_dimg(h, w, c, bt, pt),
+            grid=(n // bt, p // pt),
+            in_specs=[
+                pl.BlockSpec((bt, h, pt), lambda i, j: (i, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bt, w, pt), lambda i, j: (i, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bt, pt, c), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((w, w * c), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((c, w * c), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bt, h, w * c), lambda i, j: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n, h, w * c), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+                vmem_limit_bytes=V4_VMEM_LIMIT),
+            interpret=interpret,
+        )(a_t, b_tm, g2, e, s.T)
+        dcrd = dcrd_call()(*operands, *extra_ops)
+        return dimg_h.reshape(n, h, w, c).astype(img.dtype), dcrd
     if _SPLIT_BWD:
-        in_specs = [
-            pl.BlockSpec((bt, h, w * c), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, 2, pt), lambda i, j: (i, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, pt, c), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((w, w * c), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, w * c), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ]
-        operands = (img_h, coords_rows, g2, e, s.T)
         dimg_h = pl.pallas_call(
             _bwd_kernel_dimg(h, w, c, bt, pt),
             grid=(n // bt, p // pt),
@@ -766,35 +1101,13 @@ def _bwd(out_hw, interpret, res, g):
                 vmem_limit_bytes=V4_VMEM_LIMIT),
             interpret=interpret,
         )(*operands)
-        dcrd = pl.pallas_call(
-            _bwd_kernel_dcrd(h, w, c, bt, pt),
-            grid=(n // bt, p // pt),
-            in_specs=in_specs,
-            out_specs=pl.BlockSpec((bt, 2, pt), lambda i, j: (i, 0, j),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n, 2, p), coords_rows.dtype),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel"),
-                vmem_limit_bytes=V4_VMEM_LIMIT),
-            interpret=interpret,
-        )(*operands)
+        dcrd = dcrd_call()(*operands, *extra_ops)
         dimg = dimg_h.reshape(n, h, w, c).astype(img.dtype)
         return dimg, dcrd
     dimg_h, dcrd = pl.pallas_call(
-        _bwd_kernel(h, w, c, bt, pt),
+        _bwd_kernel(h, w, c, bt, pt, dcrd=_DCRD_IMPL),
         grid=(n // bt, p // pt),
-        in_specs=[
-            pl.BlockSpec((bt, h, w * c), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, 2, pt), lambda i, j: (i, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, pt, c), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((w, w * c), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, w * c), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs + extra_specs,
         out_specs=(
             pl.BlockSpec((bt, h, w * c), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -809,7 +1122,7 @@ def _bwd(out_hw, interpret, res, g):
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=V4_VMEM_LIMIT),
         interpret=interpret,
-    )(img_h, coords_rows, g2, e, s.T)
+    )(*operands, *extra_ops)
     dimg = dimg_h.reshape(n, h, w, c).astype(img.dtype)  # free reshape
     return dimg, dcrd
 

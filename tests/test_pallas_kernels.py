@@ -269,3 +269,86 @@ def test_v4_split_bwd_dense_matches_monolithic(rng, monkeypatch):
     di_s, dc_s = run()
     np.testing.assert_array_equal(np.asarray(di_s), np.asarray(di_m))
     np.testing.assert_array_equal(np.asarray(dc_s), np.asarray(dc_m))
+
+
+@pytest.mark.parametrize("shape", [(2, 16, 16, 8, 24, 16),   # dense path
+                                   (2, 32, 32, 3, 32, 32)])  # separable
+def test_v4_dcrd_eyt_matches_mask(rng, monkeypatch, shape):
+    """CATGEN_V4_DCRD=eyt (transposed-expander contraction, no wide
+    derivative masks) must reproduce the 'mask' d_coords formulation on
+    both the dense and the separable path, fwd + VJP."""
+    from catgen.kernels import pallas_bilinear_v4 as v4
+
+    n, h, w, c, ho, wo = shape
+    img = jnp.asarray(rng.rand(n, h, w, c).astype(np.float32))
+    coords = jnp.asarray(
+        rng.uniform(-1.1, 1.1, (n, ho, wo, 2)).astype(np.float32))
+    g = jnp.asarray(rng.randn(n, ho, wo, c).astype(np.float32))
+
+    def run():
+        out, vjp = jax.vjp(lambda i, cd: bilinear_sample_tiled(i, cd, True),
+                           img, coords)
+        return out, vjp(g)
+
+    monkeypatch.setattr(v4, "_DCRD_IMPL", "mask")
+    out_m, (di_m, dc_m) = run()
+    monkeypatch.setattr(v4, "_DCRD_IMPL", "eyt")
+    out_e, (di_e, dc_e) = run()
+    # out and d_img are computed identically in both modes
+    np.testing.assert_array_equal(np.asarray(out_e), np.asarray(out_m))
+    np.testing.assert_array_equal(np.asarray(di_e), np.asarray(di_m))
+    # d_coords: same products, different contraction order (f32 matmul
+    # accumulation vs VPU lane reduction) -> tiny reassociation noise
+    np.testing.assert_allclose(np.asarray(dc_e), np.asarray(dc_m),
+                               rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("shape", [(2, 16, 16, 8, 24, 16),   # dense path
+                                   (2, 32, 32, 3, 32, 32)])  # separable
+@pytest.mark.parametrize("dcrd", ["mask", "eyt"])
+def test_v4_residual_bwd_matches_recompute(rng, monkeypatch, shape, dcrd):
+    """CATGEN_V4_RESIDUAL=1: the forward saves its bilinear weight
+    products (dense M / separable A,B) and the backward replays them.
+    d_img must match the recompute backward bit-for-bit (same mask
+    values, same contraction); d_coords is rebuilt from coords and must
+    match exactly too."""
+    from catgen.kernels import pallas_bilinear_v4 as v4
+
+    n, h, w, c, ho, wo = shape
+    img = jnp.asarray(rng.rand(n, h, w, c).astype(np.float32))
+    coords = jnp.asarray(
+        rng.uniform(-1.1, 1.1, (n, ho, wo, 2)).astype(np.float32))
+    g = jnp.asarray(rng.randn(n, ho, wo, c).astype(np.float32))
+
+    def run():
+        out, vjp = jax.vjp(lambda i, cd: bilinear_sample_tiled(i, cd, True),
+                           img, coords)
+        return out, vjp(g)
+
+    monkeypatch.setattr(v4, "_DCRD_IMPL", dcrd)
+    monkeypatch.setattr(v4, "_RESIDUAL", False)
+    out_r, (di_r, dc_r) = run()
+    monkeypatch.setattr(v4, "_RESIDUAL", True)
+    out_s, (di_s, dc_s) = run()
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_r),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(di_s), np.asarray(di_r),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(dc_s), np.asarray(dc_r))
+
+
+def test_v4_residual_fwd_matches_plain(rng, monkeypatch):
+    """The residual-emitting forward's primary output must equal the
+    plain forward (same math, extra outputs only) on both paths."""
+    from catgen.kernels import pallas_bilinear_v4 as v4
+
+    for (n, h, w, c, ho, wo) in [(2, 16, 16, 8, 24, 16),
+                                 (2, 32, 32, 3, 32, 32)]:
+        img = jnp.asarray(rng.rand(n, h, w, c).astype(np.float32))
+        coords = jnp.asarray(
+            rng.uniform(-1.1, 1.1, (n, ho, wo, 2)).astype(np.float32))
+        rows = coords.reshape(n, ho * wo, 2).transpose(0, 2, 1)
+        plain = v4._forward(img, rows, (ho, wo), True)
+        res, _saved = v4._forward(img, rows, (ho, wo), True, want_res=True)
+        np.testing.assert_allclose(np.asarray(res), np.asarray(plain),
+                                   rtol=1e-5, atol=1e-6)
