@@ -125,3 +125,35 @@ def test_sweep_stage_timeout_recorded(tmp_path):
     # a fast command is unaffected
     assert sweep.run_cmd([sys.executable, "-c", "print('ok')"],
                          log, timeout=30) == 0
+
+
+def test_report_watch_rerenders_on_change(tmp_path):
+    """--watch (live-dashboard mode, nn_utils.lua:168-182 parity): the
+    first poll renders, an unchanged run does NOT re-render, and a new
+    metrics line triggers a re-render; the emitted HTML carries the
+    <meta refresh> tag so a browser tab follows along."""
+    d = str(tmp_path / "run")
+    _write_run(d, epochs=10)
+    out = str(tmp_path / "live.html")
+
+    # interval=0 -> no sleeping between polls; bound with max_renders
+    n = report.watch(d, out, interval=0, max_renders=1)
+    assert n == 1
+    html = open(out).read()
+    assert "http-equiv='refresh'" in html
+
+    # unchanged run: signature identical -> watch would spin without
+    # rendering; assert via the signature primitive directly
+    assert report._run_signature(d) == report._run_signature(d)
+
+    # append an epoch line -> signature changes -> next poll re-renders
+    sig0 = report._run_signature(d)
+    with open(os.path.join(d, "train_metrics.jsonl"), "a") as f:
+        f.write(json.dumps({"event": "epoch", "epoch": 11, "loss_d": 0.5,
+                            "loss_g": 1.0, "acc_d": 0.8,
+                            "d_trained_frac": 1.0,
+                            "imgs_per_sec": 1500.0}) + "\n")
+    assert report._run_signature(d) != sig0
+    n = report.watch(d, out, interval=0, max_renders=1)
+    assert n == 1
+    assert "epoch" in open(out).read()

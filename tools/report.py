@@ -9,6 +9,12 @@ glance without opening PNGs by hand:
 
     python tools/report.py runs/longrun            # -> runs/longrun/report.html
     python tools/report.py runs/longrun -o out.html
+    python tools/report.py runs/longrun --watch    # live: re-render on change
+
+--watch closes the gap to the reference's *live* display windows
+(nn_utils.lua:168-182 updates them every epoch): the report re-renders
+whenever the run writes new metrics/grids, and the emitted HTML carries a
+<meta refresh> so an open browser tab follows along by itself.
 
 Charts: D/G losses, D accuracy + gate activity, V-rating curve
 (all/good/bad), sanity probes, sample saturation/std (the collapse
@@ -254,7 +260,7 @@ def quality_table(q: Dict[str, Any]) -> str:
     return f'<table class="q">{body}</table>'
 
 
-def build_report(run_dir: str) -> str:
+def build_report(run_dir: str, refresh: Optional[int] = None) -> str:
     events = read_jsonl(os.path.join(run_dir, "train_metrics.jsonl"))
     eps = [e for e in events if e.get("event") == "epoch"]
     viz = [e for e in events if e.get("event") == "viz"
@@ -352,7 +358,10 @@ def build_report(run_dir: str) -> str:
             f"<h1>catgen run report</h1><p class=\"sub\">"
             f"{html.escape(os.path.abspath(run_dir))} &middot; "
             f"{n_ep} epochs</p>")
+    meta_refresh = (f"<meta http-equiv='refresh' content='{int(refresh)}'>"
+                    if refresh else "")
     return (f"<!DOCTYPE html><html><head><meta charset='utf-8'>"
+            f"{meta_refresh}"
             f"<title>catgen report</title><style>{CSS}</style></head>"
             f"<body class='viz-root'>{head}{banner}"
             f"<div class='charts'>{''.join(charts)}</div>"
@@ -360,13 +369,70 @@ def build_report(run_dir: str) -> str:
             f"<script>{JS}</script></body></html>")
 
 
+def _run_signature(run_dir: str) -> tuple:
+    """Cheap change detector for --watch: (mtime, size) of the metrics
+    stream plus the newest grid mtime per images dir."""
+    sig = []
+    mpath = os.path.join(run_dir, "train_metrics.jsonl")
+    if os.path.exists(mpath):
+        st = os.stat(mpath)
+        sig.append((mpath, st.st_mtime, st.st_size))
+    for sub in ("images", "images_good", "images_bad", "epochs"):
+        d = os.path.join(run_dir, sub)
+        if os.path.isdir(d):
+            pngs = [os.path.join(d, f) for f in os.listdir(d)
+                    if f.endswith(".png")]
+            if pngs:
+                sig.append((sub, len(pngs), max(os.path.getmtime(f)
+                                                for f in pngs)))
+    return tuple(sig)
+
+
+def watch(run_dir: str, out: str, interval: int = 20,
+          max_renders: Optional[int] = None) -> int:
+    """Re-render the report whenever the run writes new metrics or grids
+    (poll every `interval` s). The emitted HTML carries a <meta refresh>
+    matching the interval so an open browser tab tracks the run live.
+    max_renders bounds the loop for tests; returns the render count."""
+    import time
+
+    renders = 0
+    last_sig = None
+    while True:
+        sig = _run_signature(run_dir)
+        if sig != last_sig:
+            html_text = build_report(run_dir, refresh=max(interval, 1))
+            tmp = out + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(html_text)
+            os.replace(tmp, out)   # atomic: a refreshing browser never
+            renders += 1           # sees a half-written file
+            last_sig = sig
+            print(f"[report] re-rendered {out} "
+                  f"({len(html_text) // 1024} KB)", flush=True)
+        if max_renders is not None and renders >= max_renders:
+            return renders
+        time.sleep(interval)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("run_dir")
     p.add_argument("-o", "--out", default=None,
                    help="output path (default <run_dir>/report.html)")
+    p.add_argument("--watch", action="store_true",
+                   help="keep running: re-render whenever the run writes "
+                        "new metrics or grids (live-dashboard mode)")
+    p.add_argument("--interval", type=int, default=20,
+                   help="--watch poll/auto-refresh period in seconds")
     args = p.parse_args(argv)
     out = args.out or os.path.join(args.run_dir, "report.html")
+    if args.watch:
+        try:
+            watch(args.run_dir, out, interval=args.interval)
+        except KeyboardInterrupt:
+            pass
+        return
     html_text = build_report(args.run_dir)
     with open(out, "w") as f:
         f.write(html_text)
