@@ -11,7 +11,8 @@ from __future__ import annotations
 import argparse
 import time
 
-from catgen.data.offline import generate_dataset
+from catgen.data.offline import generate_dataset, scan_corpus, \
+    write_debug_draws
 
 
 def main(argv=None):
@@ -25,7 +26,22 @@ def main(argv=None):
     p.add_argument("--workers", type=int, default=0,
                    help="process pool size (0 = single process)")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--debug-draw", type=int, default=0, metavar="N",
+                   help="before generating, write keypoint/rect overlay "
+                        "PNGs + augmentation contact sheets for the first "
+                        "N corpus images to <out>/debug_draw (the "
+                        "reference's matplotlib visualizers, "
+                        "dataset.py:313-372, ImageAugmenter.py:647-738)")
     args = p.parse_args(argv)
+    if args.debug_draw:
+        import os
+
+        dbg = os.path.join(args.out, "debug_draw")
+        paths = scan_corpus(args.path)[:args.debug_draw]
+        for i, path in enumerate(paths):
+            written = write_debug_draws(path, i, dbg, args.padding,
+                                        args.augmentations, args.seed)
+            print(f"[debug-draw] {path} -> {len(written)} PNGs in {dbg}")
     t0 = time.time()
     n_images, n_written = generate_dataset(
         args.path, args.out, args.padding, args.augmentations, args.scale,

@@ -285,6 +285,100 @@ class FaceImage:
 
 
 # ---------------------------------------------------------------------------
+# debug drawing (dataset.py:313-372, ImageAugmenter.py:647-738) — overlay
+# renderers for eyeballing the keypoint/rect pipeline. The reference shows
+# these in matplotlib windows; here they are pure-numpy PNG writers behind
+# ``generate_dataset --debug-draw N``.
+# ---------------------------------------------------------------------------
+
+# rect-method outline colors (dataset.py:335-347): green/blue/red/yellow/
+# cyan for methods 0-4
+RECT_COLORS = {0: (0, 255, 0), 1: (0, 0, 255), 2: (255, 0, 0),
+               3: (255, 255, 0), 4: (0, 255, 255)}
+
+
+def draw_points(image: np.ndarray, keypoints: np.ndarray,
+                color: Tuple[int, int, int] = (255, 0, 0)) -> None:
+    """Draws 3-px crosses at (y, x) keypoints, in place
+    (dataset.py:352-365)."""
+    h, w = image.shape[:2]
+    for y, x in keypoints:
+        y, x = int(y), int(x)
+        image[y, max(0, x - 1):min(w - 1, x + 2)] = color
+        image[max(0, y - 1):min(h - 1, y + 2), x] = color
+
+
+def draw_rectangle(image: np.ndarray, rect: Tuple[int, int, int, int],
+                   color: Tuple[int, int, int]) -> None:
+    """Draws a 1-px rectangle outline (tl_y, tl_x, br_y, br_x), in place
+    (dataset.py:321-331); coordinates clipped into the image."""
+    h, w = image.shape[:2]
+    tl_y = int(np.clip(rect[0], 0, h - 1))
+    tl_x = int(np.clip(rect[1], 0, w - 1))
+    br_y = int(np.clip(rect[2], 0, h - 1))
+    br_x = int(np.clip(rect[3], 0, w - 1))
+    image[tl_y, tl_x:br_x + 1] = color
+    image[br_y, tl_x:br_x + 1] = color
+    image[tl_y:br_y + 1, tl_x] = color
+    image[tl_y:br_y + 1, br_x] = color
+
+
+def debug_overlay(face: FaceImage) -> np.ndarray:
+    """Keypoint crosses + all five face-rectangle methods drawn over a
+    copy of the image (draw_face_rectangles, dataset.py:335-347)."""
+    img = face.image.copy()
+    for method, color in RECT_COLORS.items():
+        draw_rectangle(img, face.face_rectangle(method), color)
+    draw_points(img, face.keypoints)
+    return img
+
+
+def augmentation_sheet(faces: Sequence[FaceImage], cols: int = 5,
+                       draw_kp: bool = True) -> np.ndarray:
+    """Tiles augmented variants into one contact sheet (the
+    ImageAugmenter.plot_images grid, ImageAugmenter.py:647-738), with
+    keypoint crosses so warp/keypoint agreement is visible per tile."""
+    assert faces, "need at least one face"
+    h = max(f.height for f in faces)
+    w = max(f.width for f in faces)
+    rows = (len(faces) + cols - 1) // cols
+    sheet = np.zeros((rows * h, cols * w, 3), np.uint8)
+    for i, f in enumerate(faces):
+        tile = f.image.copy()
+        if draw_kp:
+            draw_points(tile, f.keypoints)
+        r, c = divmod(i, cols)
+        sheet[r * h:r * h + f.height, c * w:c * w + f.width] = tile
+    return sheet
+
+
+def write_debug_draws(path: str, img_idx: int, out_dir: str,
+                      padding: int = 30, augmentations: int = 9,
+                      seed: int = 42) -> List[str]:
+    """Runs the pipeline stages for one image and writes the overlay
+    PNGs: raw keypoints+rects, rotation-removed, extracted crop, and the
+    augmentation contact sheet. Returns the written paths."""
+    from PIL import Image
+
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.RandomState(seed + img_idx)
+    face = load_face_image(path)
+    stages = [("raw", debug_overlay(face))]
+    face.remove_rotation()
+    stages.append(("derot", debug_overlay(face)))
+    face = face.extract_face(pad=padding)
+    stages.append(("crop", debug_overlay(face)))
+    augs = face.augment(augmentations, rng)
+    stages.append(("augs", augmentation_sheet([face] + augs)))
+    written = []
+    for name, arr in stages:
+        out = os.path.join(out_dir, f"{img_idx:06d}_{name}.png")
+        Image.fromarray(arr).save(out)
+        written.append(out)
+    return written
+
+
+# ---------------------------------------------------------------------------
 # corpus scan + driver (generate_dataset.py:31-91)
 # ---------------------------------------------------------------------------
 

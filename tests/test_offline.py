@@ -158,3 +158,38 @@ def test_affine_warp_edge_replicates():
     out = offline._affine_warp(img, to_c @ rot @ to_tl)
     # corners would be ~0 with black fill; edge replicate keeps them bright
     assert out[0, 0].mean() > 150 and out[-1, -1].mean() > 150
+
+
+def test_debug_draw_writes_overlays(corpus, tmp_path):
+    """--debug-draw port of the reference's matplotlib visualizers
+    (dataset.py:313-372, ImageAugmenter.py:647-738): overlay PNGs for
+    raw/derotated/cropped stages + an augmentation contact sheet."""
+    from PIL import Image
+
+    paths = offline.scan_corpus(corpus)
+    dbg = str(tmp_path / "dbg")
+    written = offline.write_debug_draws(paths[0], 0, dbg, padding=20,
+                                        augmentations=3)
+    names = [os.path.basename(p) for p in written]
+    assert names == ["000000_raw.png", "000000_derot.png",
+                     "000000_crop.png", "000000_augs.png"]
+    raw = np.asarray(Image.open(written[0]))
+    # method-0 rect (green) and keypoint crosses (red) present
+    assert (raw == np.array([0, 255, 0])).all(axis=-1).any()
+    assert (raw == np.array([255, 0, 0])).all(axis=-1).any()
+    # contact sheet tiles original + 3 augmentations -> 5-col grid, 1 row
+    face = offline.load_face_image(paths[0])
+    sheet = np.asarray(Image.open(written[3]))
+    assert sheet.shape[1] > sheet.shape[0]  # wider than tall
+
+
+def test_debug_draw_cli_flag(corpus, tmp_path):
+    from catgen.cli import generate_dataset as cli
+
+    out = str(tmp_path / "out")
+    cli.main(["--path", corpus, "--out", out, "--augmentations", "1",
+              "--debug-draw", "2"])
+    dbg = os.path.join(out, "debug_draw")
+    files = sorted(os.listdir(dbg))
+    assert len(files) == 8  # 2 images x 4 stages
+    assert "000001_augs.png" in files
