@@ -697,6 +697,12 @@ if _DENSE_MASK_IMPL not in ("mxu", "vpu"):
 # ms/iter vs split 36.29 — the duplicated G-phase build outweighs the
 # one D-phase DCE win, so the default stays 0 (KERNELS.md §2c).
 _SPLIT_BWD = os.environ.get("CATGEN_V4_SPLIT_BWD", "0") == "1"
+# Round-4 A/B (device traces, bs=512, KERNELS.md §2d): default 33.38 ms
+# step / 4.65 ms sampler bwd; eyt 34.29 (+0.9 — narrow-lane ops at 1/8
+# occupancy lose to full-occupancy wide VPU chains); residual 34.45
+# (+1.1 — the saved-mask HBM traffic costs more than the post-round-3
+# mask rebuild, even though the dead D-phase d_img call IS DCE'd);
+# residual+eyt 35.32. Defaults stay mask/off.
 # d_coords formulation inside the backward kernels: "mask" = expand
 # per-axis derivative masks to (., h*w) / (., w*c) and reduce the triple
 # product on the VPU (round-3 formulation); "eyt" = contract
@@ -740,8 +746,15 @@ def _dense_tiles(n: int, p: int, h: int, w: int, c: int, bwd: bool,
     hw_pad = max(((h * w + 127) // 128) * 128, 128)
     # bwd: 4 f32 mask parts + m (bf16) + the f32 imgg + iota staging;
     # fwd: 2 f32 mask parts + m (bf16) + iota staging; res fwd adds the
-    # double-buffered bf16 M output block
-    bytes_per_row = (26 if bwd else (18 if res else 14)) * hw_pad + 4 * 128
+    # double-buffered bf16 M output block. The eyt backward never
+    # materializes the two wide f32 derivative masks — its narrow
+    # (., h|w) row masks and u/v products are charged at one padded lane
+    # tile each.
+    if bwd and _DCRD_IMPL == "eyt":
+        bytes_per_row = 18 * hw_pad + 16 * 128
+    else:
+        bytes_per_row = (26 if bwd else (18 if res else 14)) * hw_pad \
+            + 4 * 128
     budget = V4_BUDGET
     rows = max(budget // bytes_per_row, 128)
     pt = p
