@@ -66,3 +66,31 @@ def test_generate_dataset_then_train(tmp_path):
                for e in epochs)
     # grids rendered from the trained G
     assert os.listdir(os.path.join(logs, "images"))
+
+
+def test_keypoint_corpus_through_offline(tmp_path):
+    """The 4k-scale quality fixture path (round-4): synthetic keypoint
+    corpus (rotated fixture faces + analytic .cat files) -> offline
+    pipeline -> aligned 64px crops an ImageDataset can train on."""
+    from catgen.data.fixture import write_keypoint_corpus
+    from catgen.data.loader import ImageDataset
+
+    raw = str(tmp_path / "raw")
+    write_keypoint_corpus(raw, 4, seed=3)
+    cats = os.listdir(os.path.join(raw, "CAT_00"))
+    assert len(cats) == 8  # 4 jpgs + 4 .cat files
+
+    # keypoints parse and the derotation actually levels the eyeline
+    paths = offline.scan_corpus(raw)
+    face = offline.load_face_image(paths[0])
+    angle_before = abs(offline.eyeline_angle_deg(face.keypoints))
+    face.remove_rotation()
+    angle_after = abs(offline.eyeline_angle_deg(face.keypoints))
+    assert angle_after <= max(angle_before, 2.0)
+
+    out = str(tmp_path / "data")
+    n_img, n_files = offline.generate_dataset(raw, out, augmentations=3)
+    assert (n_img, n_files) == (4, 4 * 5)  # 4 unaug + 4*(1+3) aug
+    ds = ImageDataset([os.path.join(out, "out_aug_64x64")], scale=32)
+    batch = np.asarray(ds.load_random_images(8))
+    assert batch.shape == (8, 32, 32, 3)

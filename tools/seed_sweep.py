@@ -61,14 +61,24 @@ def module_cmd(mod, *args):
     return [sys.executable, "-m", mod] + [str(a) for a in args]
 
 
-def ensure_v(out_root, fixture, v_epochs, log, platform="auto"):
-    """Shared V checkpoint per fixture size (train_v.lua is a separate
+def data_args(args):
+    """Corpus selector forwarded to every stage: --dataset <dirs> (a real
+    or offline-generated JPEG corpus — the 4k+ quality fixture) wins over
+    --fixture N (procedurally drawn toy corpus)."""
+    if getattr(args, "dataset", None):
+        return ["--dataset"] + list(args.dataset)
+    return ["--fixture", str(args.fixture)]
+
+
+def ensure_v(out_root, args, v_epochs, log, platform="auto"):
+    """Shared V checkpoint per corpus (train_v.lua is a separate
     prerequisite stage in the reference too, README.md:101-127)."""
-    vdir = os.path.join(out_root, f"_shared_v_f{fixture}")
+    tag = ("ds" if getattr(args, "dataset", None) else f"f{args.fixture}")
+    vdir = os.path.join(out_root, f"_shared_v_{tag}")
     ck = os.path.join(vdir, "v_3x32x32.ckpt")
     if not os.path.exists(ck):
         os.makedirs(vdir, exist_ok=True)
-        rc = run_cmd(module_cmd("catgen.cli.train_v", "--fixture", fixture,
+        rc = run_cmd(module_cmd("catgen.cli.train_v", *data_args(args),
                                 "--epochs", v_epochs, "--save", vdir,
                                 "--platform", platform), log)
         if rc != 0:
@@ -82,25 +92,29 @@ def run_config(out_root, cfg, shared_vdir, v_ckpt, args):
     rdir = os.path.join(out_root, name)
     os.makedirs(rdir, exist_ok=True)
     log = os.path.join(rdir, "run.log")
-    result = {"name": name, **cfg, "fixture": args.fixture}
+    result = {"name": name, **cfg,
+              "corpus": (args.dataset if getattr(args, "dataset", None)
+                         else f"fixture:{args.fixture}")}
 
     # same corpus for every run: reuse the shared dir's fixture images
+    # (--dataset mode points every stage at the same external dirs)
     fdir = os.path.join(rdir, "fixture")
     shared_fix = os.path.join(shared_vdir, "fixture")
-    if not os.path.isdir(fdir) and os.path.isdir(shared_fix):
+    if not getattr(args, "dataset", None) and not os.path.isdir(fdir) \
+            and os.path.isdir(shared_fix):
         shutil.copytree(shared_fix, fdir)
     shutil.copy(v_ckpt, os.path.join(rdir, os.path.basename(v_ckpt)))
 
     t0 = time.time()
-    rc = run_cmd(module_cmd("catgen.cli.pretrain_g", "--fixture",
-                            args.fixture, "--epochs", args.pretrain_epochs,
+    rc = run_cmd(module_cmd("catgen.cli.pretrain_g", *data_args(args),
+                            "--epochs", args.pretrain_epochs,
                             "--seed", cfg["seed"], "--save", rdir,
                             "--platform", args.platform), log)
     if rc != 0:
         result.update(outcome="error", stage="pretrain_g", rc=rc)
         return result
 
-    train_args = ["--fixture", args.fixture, "--epochs", args.epochs,
+    train_args = [*data_args(args), "--epochs", args.epochs,
                   "--seed", cfg["seed"], "--D_maxAcc", cfg["maxacc"],
                   "--saveFreq", args.save_freq, "--visFreq", args.vis_freq,
                   "--collapseDetect", "--save", rdir,
@@ -128,7 +142,8 @@ def run_config(out_root, cfg, shared_vdir, v_ckpt, args):
     from catgen.eval.collapse import scan_metrics
     retro = scan_metrics(os.path.join(rdir, "train_metrics.jsonl"))
     result["retro_scan"] = {k: retro[k] for k in ("collapsed", "reason")}
-    rc = run_cmd(module_cmd("catgen.cli.eval_quality", "--save", rdir,
+    rc = run_cmd(module_cmd("catgen.cli.eval_quality", *data_args(args),
+                            "--save", rdir,
                             "--platform", args.platform), log)
     if rc == 0:
         q = json.load(open(os.path.join(rdir, "quality_report.json")))
@@ -172,6 +187,10 @@ def main(argv=None):
     p.add_argument("--maxacc", default="1.01,0.95,0.9,0.8")
     p.add_argument("--seeds", default="1,2,3")
     p.add_argument("--fixture", type=int, default=1024)
+    p.add_argument("--dataset", nargs="*", default=None,
+                   help="JPEG corpus dirs (e.g. the offline pipeline's "
+                        "out_aug_64x64 on a synthetic keypoint corpus); "
+                        "overrides --fixture in every stage")
     p.add_argument("--v_epochs", type=int, default=30)
     p.add_argument("--pretrain_epochs", type=int, default=10)
     p.add_argument("--save_freq", type=int, default=50)
@@ -211,7 +230,7 @@ def main(argv=None):
     done = {r["name"] for r in results}
 
     log = os.path.join(args.out, "sweep.log")
-    vdir, v_ckpt = ensure_v(args.out, args.fixture, args.v_epochs, log,
+    vdir, v_ckpt = ensure_v(args.out, args, args.v_epochs, log,
                             args.platform)
 
     configs = [{"maxacc": ma, "seed": int(s)}
