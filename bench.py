@@ -19,10 +19,19 @@ the final state, which bounds the entire chain (see tools/perf_probe.py).
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"};
 vs_baseline = value / 20000 (BASELINE.md target).
 
-Env knobs: BENCH_BS (per-chip batch, default 512), BENCH_STEPS (default
-20), BENCH_DTYPE (bf16|f32, default bf16), BENCH_MODE (train|infer —
-infer measures the sample.lua batch-inference pipeline: generate 1024,
-D-rank, NN-search vs a 16k-image corpus, BASELINE.json config #5).
+Env knobs: BENCH_BS (per-chip batch, default 640; 256 at scale 64),
+BENCH_STEPS (default 50), BENCH_DTYPE (bf16|f32, default bf16),
+BENCH_SCALE (32|64 — 64 benches the Laplacian-style G64_stack vs D64
+pyramid config, README.md:156-188), BENCH_CORPUS (NN corpus size for
+infer, default 16384; the reference's real workload is ~100k,
+README.md:281), BENCH_MODE:
+  train    combined G+D train step (the headline, BASELINE config)
+  infer    sample.lua batch-inference pipeline: generate 1024, D-rank,
+           NN-search vs the corpus (BASELINE.json config #5)
+  train_v  V-trainer scanned epoch INCLUDING the on-device synthetic
+           generators (train_v.lua:294-528 was the reference's worst
+           host hot loop)
+  pretrain G-autoencoder MSE warm-up epoch (pretrain_g.lua:138-187)
 """
 
 import json
@@ -44,7 +53,7 @@ def _fetch(tree):
     return float(jnp.sum(leaf.astype(jnp.float32).ravel()[:8]))
 
 
-def bench_train(batch, steps, dtype, augment):
+def bench_train(batch, steps, dtype, augment, scale=32):
     """True training loop: an epoch of *fresh* real half-batches is
     pre-staged on device (as GanHarness.run_epoch does) and consumed by
     the scanned epoch program — every step trains on distinct data, with
@@ -56,12 +65,20 @@ def bench_train(batch, steps, dtype, augment):
     config = gan.GanConfig(batch_size=batch, noise_dim=NOISE_DIM,
                            acc_window=20, compute_dtype=dtype,
                            augment=augment)
-    g = models.create_G_decoder_upsampling32c(IMG, NOISE_DIM)
-    d = models.create_D32_st3(IMG)
-    state = gan.init_state(g, d, config, jax.random.PRNGKey(0), IMG)
+    if scale == 64:
+        img = (64, 64, 3)
+        g = models.G_REGISTRY["g64_stack"](img, NOISE_DIM)
+        d = models.D_REGISTRY["d64"](img)
+        pair = "G64_stack vs D64"
+    else:
+        img = IMG
+        g = models.create_G_decoder_upsampling32c(IMG, NOISE_DIM)
+        d = models.create_D32_st3(IMG)
+        pair = "G32up-c vs D32_st3"
+    state = gan.init_state(g, d, config, jax.random.PRNGKey(0), img)
     epoch = jax.jit(gan.make_train_epoch(g, d, config), donate_argnums=(0,))
     reals = jnp.asarray(np.random.RandomState(0).rand(
-        steps, batch // 2, *IMG).astype(np.float32))
+        steps, batch // 2, *img).astype(np.float32))
 
     state, _ = epoch(state, reals, jax.random.PRNGKey(1))   # compile+warm
     _fetch(state)
@@ -74,19 +91,98 @@ def bench_train(batch, steps, dtype, augment):
     n_chips = jax.local_device_count()
     imgs_per_sec = 2 * batch * steps / dt / n_chips
     return {
-        "metric": "combined G+D train images/sec/chip @32x32 "
-                  "(G32up-c vs D32_st3, bf16, fresh data"
+        "metric": f"combined G+D train images/sec/chip @{scale}x{scale} "
+                  f"({pair}, bf16, fresh data"
                   + (", augmented" if augment else "") + ")",
         "value": round(imgs_per_sec, 1),
         "unit": "images/sec/chip",
-        "vs_baseline": round(imgs_per_sec / TARGET, 3),
+        # the 20k target is the 32px flagship's; no baseline exists for
+        # the 64px pyramid config
+        "vs_baseline": (round(imgs_per_sec / TARGET, 3) if scale == 32
+                        else None),
     }
 
 
-def bench_infer(steps, dtype):
+def bench_train_v(batch, steps, dtype):
+    """V-trainer scanned epoch: synthetic-fake generation (overlay bank,
+    Mix/Warp/Stamp/Random branches + recursive mix) AND the V updates in
+    ONE compiled program — the rebuild of the reference's worst host hot
+    loop (train_v.lua:294-528, per-pixel Lua generators). Throughput
+    counts V-trained images (half real + half synthesized on device)."""
+    from catgen import models
+    from catgen.train import synthetic, v_trainer
+
+    config = v_trainer.VConfig(batch_size=batch, compute_dtype=dtype)
+    v = models.V_REGISTRY["v32"](IMG)
+    state = v_trainer.init_state(v, config, jax.random.PRNGKey(0), IMG)
+    h, w, c = IMG
+    bank = synthetic.build_overlay_bank(h, w, n=1000, n_points=10000,
+                                        seed=0)
+    epoch = jax.jit(v_trainer.make_train_epoch(v, config, bank, IMG),
+                    donate_argnums=(0,))
+    half = batch // 2
+    rs = np.random.RandomState(0)
+    staged = jnp.asarray(rs.rand(steps, 5, half, *IMG).astype(np.float32))
+    reals, gen_reals = staged[:, 0], staged[:, 1:]
+    branches = jnp.asarray(rs.randint(0, 4, steps), jnp.int32)
+    sub_branches = jnp.asarray(rs.randint(0, 4, steps), jnp.int32)
+    submix = jnp.asarray(rs.rand(steps) < 0.33)
+
+    state, _ = epoch(state, reals, gen_reals, branches, sub_branches,
+                     submix, jax.random.PRNGKey(1))
+    _fetch(state)
+    t0 = time.perf_counter()
+    state, _ = epoch(state, reals, gen_reals, branches, sub_branches,
+                     submix, jax.random.PRNGKey(2))
+    _fetch(state)
+    dt = time.perf_counter() - t0
+    ips = batch * steps / dt / jax.local_device_count()
+    return {
+        "metric": "V-train images/sec/chip @32x32 (V32, half synthetic "
+                  "generated on device, bf16, fresh data)",
+        "value": round(ips, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": None,   # the reference never published V numbers
+    }
+
+
+def bench_pretrain(batch, steps, dtype):
+    """G-autoencoder MSE warm-up epoch (pretrain_g.lua:138-187) as one
+    scanned program."""
+    from catgen import models
+    from catgen.train import pretrainer
+
+    config = pretrainer.PretrainConfig(batch_size=batch,
+                                       noise_dim=NOISE_DIM)
+    ae = models.create_G_autoencoder(IMG, NOISE_DIM)
+    state = pretrainer.init_state(ae, config, jax.random.PRNGKey(0), IMG)
+    epoch = jax.jit(pretrainer.make_train_epoch(ae, config),
+                    donate_argnums=(0,))
+    batches = jnp.asarray(np.random.RandomState(0).rand(
+        steps, batch, *IMG).astype(np.float32)).astype(dtype)
+
+    state, _ = epoch(state, batches, jax.random.PRNGKey(1))
+    _fetch(state)
+    t0 = time.perf_counter()
+    state, _ = epoch(state, batches, jax.random.PRNGKey(2))
+    _fetch(state)
+    dt = time.perf_counter() - t0
+    ips = batch * steps / dt / jax.local_device_count()
+    return {
+        "metric": "G-autoencoder pretrain images/sec/chip @32x32 "
+                  "(MSE, fresh data)",
+        "value": round(ips, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": None,
+    }
+
+
+def bench_infer(steps, dtype, corpus_n=16384):
     """sample.lua pipeline as one jitted program: 1024 generate + D-rank +
-    best-16 NN search against a 16k corpus (sample.lua:89-151 rebuilt;
-    the NN scan is one matmul, SURVEY.md §3.4)."""
+    best-16 NN search against an N-image corpus (sample.lua:89-151
+    rebuilt; the NN scan is one matmul, SURVEY.md §3.4). BENCH_CORPUS=
+    100000 matches the reference's real ~100k-crop workload
+    (README.md:281)."""
     from catgen import models
     from catgen.sample.sampler import nearest_neighbours
     from catgen.train import gan
@@ -96,7 +192,7 @@ def bench_infer(steps, dtype):
     gv = g.init(jax.random.PRNGKey(0), (1, NOISE_DIM))
     dv = d.init(jax.random.PRNGKey(1), (1,) + IMG)
     corpus = jnp.asarray(np.random.RandomState(0).rand(
-        16384, *IMG).astype(np.float32)).astype(dtype)
+        corpus_n, *IMG).astype(np.float32)).astype(dtype)
     count = 1024
 
     @jax.jit
@@ -126,8 +222,8 @@ def bench_infer(steps, dtype):
     dt = time.perf_counter() - t0
     sps = count * steps / dt / jax.local_device_count()
     return {
-        "metric": "batch inference samples/sec/chip "
-                  "(1024-gen + D-rank + NN-search)",
+        "metric": f"batch inference samples/sec/chip "
+                  f"(1024-gen + D-rank + NN-search vs {corpus_n}-corpus)",
         "value": round(sps, 1),
         "unit": "samples/sec/chip",
         "vs_baseline": round(sps / TARGET, 3),
@@ -135,16 +231,23 @@ def bench_infer(steps, dtype):
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BS", "640"))  # measured sweet spot
+    scale = int(os.environ.get("BENCH_SCALE", "32"))
+    default_bs = "640" if scale == 32 else "256"  # measured sweet spots
+    batch = int(os.environ.get("BENCH_BS", default_bs))
     steps = int(os.environ.get("BENCH_STEPS", "50"))
     dtype = (jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16"
              else jnp.float32)
     mode = os.environ.get("BENCH_MODE", "train")
     augment = os.environ.get("BENCH_AUGMENT", "1") == "1"
+    corpus_n = int(os.environ.get("BENCH_CORPUS", "16384"))
     if mode == "infer":
-        result = bench_infer(max(steps, 5), dtype)
+        result = bench_infer(max(steps, 5), dtype, corpus_n)
+    elif mode == "train_v":
+        result = bench_train_v(batch, steps, dtype)
+    elif mode == "pretrain":
+        result = bench_pretrain(batch, steps, dtype)
     else:
-        result = bench_train(batch, steps, dtype, augment)
+        result = bench_train(batch, steps, dtype, augment, scale)
     print(json.dumps(result))
 
 
