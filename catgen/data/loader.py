@@ -94,6 +94,22 @@ class ImageDataset:
     def __len__(self) -> int:
         return len(self.paths)
 
+    def family_ids(self, start: int, count: int) -> np.ndarray:
+        """Source-image family id per file in [start, start+count): files
+        named ``{img_idx}_{aug_idx}.jpg`` (the offline pipeline's contract,
+        generate_dataset.py:76-91) share a family iff their img_idx
+        matches; any other naming gets a unique id per file. Used to
+        exclude augmentation near-duplicates from the self-NN normalizer
+        (sample.self_nn_mean)."""
+        import re
+
+        ids = []
+        for i, p in enumerate(self.paths[start:start + count]):
+            stem = os.path.splitext(os.path.basename(p))[0]
+            m = re.fullmatch(r"(\d+)_(\d+)", stem)
+            ids.append(int(m.group(1)) if m else -(i + 1))
+        return np.asarray(ids, np.int64)
+
     @property
     def channels(self) -> int:
         return colorlib.channels(self.colorspace)

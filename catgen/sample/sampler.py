@@ -74,11 +74,23 @@ def nn_l2_mean(queries: jax.Array, corpus: jax.Array) -> jax.Array:
     return jnp.sqrt(dist2_matrix(queries, corpus).min(1)).mean()
 
 
-def self_nn_mean(images: jax.Array) -> jax.Array:
+def self_nn_mean(images: jax.Array, families=None) -> jax.Array:
     """Mean leave-one-out NN distance of a set to itself (the normalizer
-    for the blob-collapse nn_l2_ratio signal, eval/collapse.py)."""
+    for the blob-collapse nn_l2_ratio signal, eval/collapse.py).
+
+    ``families`` (optional int array (N,)): exclude same-family pairs from
+    the NN search, not just the self-pair. On an offline-augmented corpus
+    (``{img_idx}_{aug_idx}.jpg``) every crop's nearest neighbour is one of
+    its own 9 warp variants, which deflates the normalizer ~arbitrarily
+    and makes nn_l2_ratio fire ``far_from_data`` on healthy runs (round-4
+    false positive on the 4.5k keypoint corpus, QUALITY.md)."""
     d2 = dist2_matrix(images, images)
-    d2 = d2 + jnp.diag(jnp.full((images.shape[0],), jnp.inf))
+    if families is not None:
+        fam = jnp.asarray(families)
+        same = fam[:, None] == fam[None, :]
+    else:
+        same = jnp.eye(images.shape[0], dtype=bool)
+    d2 = jnp.where(same, jnp.inf, d2)
     return jnp.sqrt(d2.min(1)).mean()
 
 

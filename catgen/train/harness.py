@@ -352,7 +352,12 @@ class GanHarness:
                         if self.hc.normalize else self._viz_corpus)
                 crgb = colorlib.colorspace_to_rgb(disp, self.hc.colorspace)
                 from catgen.sample.sampler import self_nn_mean
-                self._nn_baseline = float(self_nn_mean(crgb))
+                # family-aware: an offline-augmented corpus slice holds
+                # whole warp families whose intra-family NN distances are
+                # near zero — excluding them keeps the normalizer (and so
+                # the far_from_data threshold) corpus-independent
+                fams = self.dataset.family_ids(0, k)
+                self._nn_baseline = float(self_nn_mean(crgb, fams))
         res = jax.device_get(self._viz_fn()(
             self.state.g_params, self.state.g_state,
             self.state.d_params, self.state.d_state,

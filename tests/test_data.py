@@ -150,3 +150,49 @@ def test_hsl_matches_colorsys():
     for i, (r, g, b) in enumerate(vals):
         h, l, s = colorsys.rgb_to_hls(r, g, b)  # note HLS order
         np.testing.assert_allclose(got[i], [h, s, l], atol=1e-5)
+
+
+def test_family_ids_and_family_aware_self_nn(tmp_path):
+    """Round-4 false-positive fix: on an offline-augmented corpus
+    ({img_idx}_{aug_idx}.jpg) the self-NN normalizer must exclude
+    same-family (warp-variant) pairs, or far_from_data fires on healthy
+    runs (QUALITY.md round 4)."""
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from catgen.data.loader import ImageDataset
+    from catgen.sample.sampler import self_nn_mean
+
+    d = tmp_path / "aug"
+    d.mkdir()
+    rng = np.random.RandomState(0)
+    base = rng.rand(2, 64, 64, 3)
+    for i in range(2):
+        for a in range(3):   # aug variants are tiny perturbations
+            arr = np.clip(base[i] + rng.normal(0, 0.01, base[i].shape),
+                          0, 1)
+            Image.fromarray((arr * 255).astype(np.uint8)).save(
+                str(d / f"{i:06d}_{a:03d}.jpg"), quality=95)
+    ds = ImageDataset([str(d)], scale=32)
+    fams = ds.family_ids(0, 6)
+    assert sorted(set(fams.tolist())) == [0, 1]
+
+    imgs = ds.load_images(0, 6)
+    plain = float(self_nn_mean(imgs))
+    excl = float(self_nn_mean(imgs, fams))
+    # intra-family NN distances are near zero; cross-family are not
+    assert excl > 2 * plain
+
+    # non-offline naming (cat_00001.jpg) -> unique family per file,
+    # reducing to the plain leave-one-out statistic
+    d2 = tmp_path / "plain"
+    d2.mkdir()
+    for i in range(3):
+        Image.fromarray((base[0] * 255).astype(np.uint8)).save(
+            str(d2 / f"cat_{i:05d}.jpg"), quality=95)
+    ds2 = ImageDataset([str(d2)], scale=32)
+    fams2 = ds2.family_ids(0, 3)
+    assert len(set(fams2.tolist())) == 3
+    imgs2 = ds2.load_images(0, 3)
+    np.testing.assert_allclose(float(self_nn_mean(imgs2, fams2)),
+                               float(self_nn_mean(imgs2)), rtol=1e-6)
