@@ -76,9 +76,14 @@ def bench_train(batch, steps, dtype, augment, scale=32):
         d = models.create_D32_st3(IMG)
         pair = "G32up-c vs D32_st3"
     state = gan.init_state(g, d, config, jax.random.PRNGKey(0), img)
-    epoch = jax.jit(gan.make_train_epoch(g, d, config), donate_argnums=(0,))
+    # flat staging: a (steps, B/2, H, W, C=3) epoch tensor is tile-padded
+    # 3->128 resident on TPU (42x HBM); flat pads nothing and the epoch
+    # reshapes per step (gan.make_train_epoch)
+    epoch = jax.jit(gan.make_train_epoch(g, d, config, image_shape=img),
+                    donate_argnums=(0,))
+    flat = int(np.prod(img))
     reals = jnp.asarray(np.random.RandomState(0).rand(
-        steps, batch // 2, *img).astype(np.float32))
+        steps, batch // 2, flat).astype(np.float32))
 
     state, _ = epoch(state, reals, jax.random.PRNGKey(1))   # compile+warm
     _fetch(state)
@@ -118,11 +123,15 @@ def bench_train_v(batch, steps, dtype):
     h, w, c = IMG
     bank = synthetic.build_overlay_bank(h, w, n=1000, n_points=10000,
                                         seed=0)
-    epoch = jax.jit(v_trainer.make_train_epoch(v, config, bank, IMG),
+    epoch = jax.jit(v_trainer.make_train_epoch(v, config, bank, IMG,
+                                               flat_xs=True),
                     donate_argnums=(0,))
     half = batch // 2
     rs = np.random.RandomState(0)
-    staged = jnp.asarray(rs.rand(steps, 5, half, *IMG).astype(np.float32))
+    # flat staging — the 5-batches-per-step NHWC stage is tile-padded
+    # 3->128 (42x HBM: 33.5 GB at bs=640 x 50 steps, an OOM) on TPU
+    flat = int(np.prod(IMG))
+    staged = jnp.asarray(rs.rand(steps, 5, half, flat).astype(np.float32))
     reals, gen_reals = staged[:, 0], staged[:, 1:]
     branches = jnp.asarray(rs.randint(0, 4, steps), jnp.int32)
     sub_branches = jnp.asarray(rs.randint(0, 4, steps), jnp.int32)
@@ -156,10 +165,11 @@ def bench_pretrain(batch, steps, dtype):
                                        noise_dim=NOISE_DIM)
     ae = models.create_G_autoencoder(IMG, NOISE_DIM)
     state = pretrainer.init_state(ae, config, jax.random.PRNGKey(0), IMG)
-    epoch = jax.jit(pretrainer.make_train_epoch(ae, config),
+    epoch = jax.jit(pretrainer.make_train_epoch(ae, config,
+                                                image_shape=IMG),
                     donate_argnums=(0,))
     batches = jnp.asarray(np.random.RandomState(0).rand(
-        steps, batch, *IMG).astype(np.float32)).astype(dtype)
+        steps, batch, int(np.prod(IMG))).astype(np.float32)).astype(dtype)
 
     state, _ = epoch(state, batches, jax.random.PRNGKey(1))
     _fetch(state)
@@ -191,12 +201,16 @@ def bench_infer(steps, dtype, corpus_n=16384):
     d = models.create_D32_st3(IMG)
     gv = g.init(jax.random.PRNGKey(0), (1, NOISE_DIM))
     dv = d.init(jax.random.PRNGKey(1), (1,) + IMG)
+    # the corpus is a jit ARGUMENT, pre-flattened to (N, H*W*C):
+    # closing over it would embed 100k images as an HLO constant (the
+    # remote-compile request exceeds the tunnel's body limit at N=100k),
+    # and an NHWC C=3 argument would be tile-padded 3->128 (42x HBM)
     corpus = jnp.asarray(np.random.RandomState(0).rand(
-        corpus_n, *IMG).astype(np.float32)).astype(dtype)
+        corpus_n, int(np.prod(IMG))).astype(np.float32)).astype(dtype)
     count = 1024
 
     @jax.jit
-    def pipeline(rng, carry):
+    def pipeline(rng, carry, corpus):
         # `carry` is derived from the previous iteration's OUTPUT (the
         # best-image NN index): folding it into this iteration's rng makes
         # every run data-dependent on the full previous run — the repo's
@@ -213,11 +227,11 @@ def bench_infer(steps, dtype, corpus_n=16384):
         return imgs, scores, idx, dist, carry
 
     carry = jnp.zeros((), jnp.int32)
-    out = pipeline(jax.random.PRNGKey(2), carry)
+    out = pipeline(jax.random.PRNGKey(2), carry, corpus)
     _fetch(out)
     t0 = time.perf_counter()
     for i in range(steps):
-        out = pipeline(jax.random.PRNGKey(10 + i), out[-1])
+        out = pipeline(jax.random.PRNGKey(10 + i), out[-1], corpus)
     float(out[-1])   # one final fetch closes the dependency chain
     dt = time.perf_counter() - t0
     sps = count * steps / dt / jax.local_device_count()

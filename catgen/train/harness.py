@@ -97,8 +97,10 @@ class GanHarness:
             self.epoch_fn = dist.make_dp_train_epoch(self.g, self.d, self.gc,
                                                      self.mesh)
         else:
-            self.epoch_fn = jax.jit(gan.make_train_epoch(self.g, self.d,
-                                                         self.gc))
+            # single-device epochs stage FLAT reals (tile-padding of C=3
+            # NHWC epoch tensors costs 42x HBM; gan.make_train_epoch)
+            self.epoch_fn = jax.jit(gan.make_train_epoch(
+                self.g, self.d, self.gc, image_shape=hc.image_shape))
         # V is inference-only inside the GAN loop (train.lua:119-123)
         self.v = None
         self.v_vars = None
@@ -238,6 +240,8 @@ class GanHarness:
                 batches, NamedSharding(self.mesh,
                                        P(None, dist.DATA_AXIS, None, None,
                                          None)))
+        else:
+            batches = batches.reshape(batches.shape[:2] + (-1,))
         return batches
 
     def run_epoch(self) -> dict:
@@ -501,7 +505,7 @@ class VHarness:
                                                  bank, hc.image_shape)
         else:
             self.epoch_fn = jax.jit(v_trainer.make_train_epoch(
-                self.v, self.vc, bank, hc.image_shape))
+                self.v, self.vc, bank, hc.image_shape, flat_xs=True))
         self.factory = synthetic.SyntheticImageFactory(bank, hc.image_shape,
                                                        seed=hc.seed)
         self._np = np.random.RandomState(hc.seed)
@@ -529,7 +533,13 @@ class VHarness:
         nb = max(self.hc.n_epoch // self.vc.batch_size, 1)
         raw = self.dataset.sample_uint8(nb * 5 * half)
         staged = self.dataset.postprocess(raw)
-        staged = staged.reshape((nb, 5, half) + tuple(self.hc.image_shape))
+        if self.mesh is not None:
+            staged = staged.reshape((nb, 5, half)
+                                    + tuple(self.hc.image_shape))
+        else:
+            # flat staging (flat_xs=True epoch): C=3 NHWC epoch tensors
+            # are tile-padded 3->128 on TPU — 42x HBM at 5 batches/step
+            staged = staged.reshape((nb, 5, half, -1))
         reals, gen_reals = staged[:, 0], staged[:, 1:]
         branches = jnp.asarray(self._np.randint(0, 4, nb), jnp.int32)
         sub_branches = jnp.asarray(self._np.randint(0, 4, nb), jnp.int32)
@@ -626,8 +636,8 @@ class PretrainHarness:
             self.state = dist.replicate(self.state, self.mesh)
             self.epoch_fn = dist.make_dp_ae_epoch(self.ae, self.pc, self.mesh)
         else:
-            self.epoch_fn = jax.jit(pretrainer.make_train_epoch(self.ae,
-                                                                self.pc))
+            self.epoch_fn = jax.jit(pretrainer.make_train_epoch(
+                self.ae, self.pc, image_shape=hc.image_shape))
         self.logger.log("setup", ae_params=param_count(self.state.params))
 
     def _ckpt_path(self) -> str:
@@ -650,11 +660,14 @@ class PretrainHarness:
         n_batches = max(self.hc.n_epoch // self.pc.batch_size, 1)
         bsz = self.pc.batch_size * max(self.hc.n_devices, 1)
         imgs = self.dataset.load_random_images(n_batches * bsz)
-        batches = imgs.reshape((n_batches, bsz) + tuple(imgs.shape[1:]))
         if self.mesh is not None:
+            batches = imgs.reshape((n_batches, bsz) + tuple(imgs.shape[1:]))
             from jax.sharding import NamedSharding, PartitionSpec as P
             batches = jax.device_put(batches, NamedSharding(
                 self.mesh, P(None, dist.DATA_AXIS)))
+        else:
+            # flat staging (see gan.make_train_epoch on tile padding)
+            batches = imgs.reshape((n_batches, bsz, -1))
         rng = jax.random.fold_in(jax.random.PRNGKey(self.hc.seed),
                                  int(self.state.epoch))
         self.state, losses = self.epoch_fn(self.state, batches, rng)

@@ -79,16 +79,24 @@ def make_train_step(autoencoder: Module, config: PretrainConfig):
     return step
 
 
-def make_train_epoch(autoencoder: Module, config: PretrainConfig):
+def make_train_epoch(autoencoder: Module, config: PretrainConfig,
+                     image_shape=None):
     """Scans the AE step over pre-staged batches: (state, images
     (nb, B, H, W, C), rng) -> (state, losses (nb,)). One compiled program
     per epoch — replaces pretrain_g.lua's per-batch host loop (:120-180)
-    and its per-batch device sync."""
+    and its per-batch device sync.
+
+    ``image_shape=(H, W, C)`` switches the expected layout to FLAT images
+    (nb, B, H*W*C), reshaped per step inside the scan body — C=3 NHWC
+    epoch tensors are tile-padded 3->128 on TPU (42x HBM; see
+    gan.make_train_epoch)."""
     step = make_train_step(autoencoder, config)
 
     def epoch_fn(state: AEState, batches, rng):
         def body(carry, batch):
             st, i = carry
+            if image_shape is not None:
+                batch = batch.reshape(batch.shape[:1] + tuple(image_shape))
             st, loss = step(st, batch, jax.random.fold_in(rng, i))
             return (st, i + 1), loss
 

@@ -113,7 +113,8 @@ def make_train_step(v: Module, config: VConfig):
     return step
 
 
-def make_train_epoch(v: Module, config: VConfig, bank, image_shape):
+def make_train_epoch(v: Module, config: VConfig, bank, image_shape,
+                     flat_xs: bool = False):
     """One compiled program per V epoch (the host-driven loop costs a
     device->host tunnel round-trip per batch; train_v.lua:115-213 is a
     per-batch Lua loop — here the synthetic generation AND the training
@@ -126,6 +127,12 @@ def make_train_epoch(v: Module, config: VConfig, bank, image_shape):
     ``branches``/``sub_branches``/``submix`` carry the host-side sequential
     randomness (generator choice p=1/4 each, recursive mix p=0.33);
     ``gen_reals`` are the fresh TRAIN_DATA samples each generator draws.
+
+    ``flat_xs=True`` switches reals/gen_reals to FLAT images — (nb, B/2,
+    H*W*C) and (nb, 4, B/2, H*W*C) — reshaped per step inside the scan
+    body: a staged NHWC tensor with C=3 is tile-padded 3->128 on TPU
+    (42x HBM; the 5-batches-per-step V staging OOMs at bench scale),
+    while the flat layout pads nothing (see gan.make_train_epoch).
     """
     from catgen.train import synthetic
 
@@ -137,6 +144,9 @@ def make_train_epoch(v: Module, config: VConfig, bank, image_shape):
         def body(carry, inputs):
             st, i = carry
             r, gr, br, sbr, sm = inputs
+            if flat_xs:
+                r = r.reshape(r.shape[:1] + tuple(image_shape))
+                gr = gr.reshape(gr.shape[:2] + tuple(image_shape))
             k = jax.random.fold_in(rng, i)
             # namespace-separate the synthetic-generation key from the
             # step's own fold_in(k, state.step) stream: fold_in(k, 1)
