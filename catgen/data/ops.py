@@ -11,6 +11,9 @@ XLA stage does downscale / color conversion / random affine augmentation
 from __future__ import annotations
 
 import dataclasses
+import functools
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -25,14 +28,45 @@ def downscale2(images: jnp.ndarray) -> jnp.ndarray:
     return x.mean(axis=(2, 4))
 
 
+@functools.lru_cache(maxsize=64)
+def _resample_matrix(n_in: int, n_out: int) -> "np.ndarray":
+    """(n_out, n_in) align-corners bilinear resampling matrix — the exact
+    row weights ``affine_grid`` (identity theta) + ``bilinear_sample``
+    would gather: fy = i·(n_in−1)/(n_out−1), 2 taps per output row."""
+    fy = (np.linspace(-1.0, 1.0, n_out) + 1.0) * 0.5 * (n_in - 1)
+    fy = np.clip(fy, 0.0, max(n_in - 1, 0))
+    if n_in > 1:
+        y0 = np.clip(np.floor(fy), 0, n_in - 2).astype(np.int64)
+    else:
+        y0 = np.zeros(n_out, np.int64)
+    y1 = np.minimum(y0 + 1, n_in - 1)
+    wy = (fy - y0).astype(np.float32)
+    m = np.zeros((n_out, n_in), np.float32)
+    np.add.at(m, (np.arange(n_out), y0), 1.0 - wy)
+    np.add.at(m, (np.arange(n_out), y1), wy)
+    return m
+
+
 def resize_bilinear(images: jnp.ndarray, out_hw) -> jnp.ndarray:
-    """General bilinear resize via the shared sampler (align-corners)."""
+    """Bilinear resize (align-corners), as two small matmuls — no gather.
+
+    A resize's sample grid is STATIC, so the op is ``My @ img @ Mx^T``
+    with 2-tap (out, in) interpolation matrices, and its VJP is the
+    transposed matmuls (MXU both ways). The gather formulation this
+    replaces was the entire 64px-step bottleneck: the RefineStage's 2×
+    bilinear upsample lowered to 4 gathers forward and a sort +
+    scatter-add VJP — 94 of the 136 ms step at bs=256 (KERNELS.md §6).
+    Matches ``bilinear_sample(affine_grid(identity))`` to f32 rounding.
+    """
+    n, h, w, c = images.shape
     oh, ow = out_hw
-    n = images.shape[0]
-    theta = jnp.tile(jnp.array([[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]],
-                               images.dtype), (n, 1, 1))
-    grid = affine_grid(theta, oh, ow)
-    return bilinear_sample(images, grid)
+    if (oh, ow) == (h, w):
+        return images
+    my = jnp.asarray(_resample_matrix(h, oh))            # (oh, h)
+    mx = jnp.asarray(_resample_matrix(w, ow))            # (ow, w)
+    y = jnp.einsum("oh,nhwc->nowc", my, images.astype(jnp.float32))
+    y = jnp.einsum("pw,nowc->nopc", mx, y)
+    return y.astype(images.dtype)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -59,6 +59,38 @@ def test_resize_bilinear_identity(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_resize_bilinear_matches_gather_sampler(rng):
+    """The matmul formulation == the gather sampler at identity theta
+    (KERNELS.md §6: the matmul path replaced the gather path, which VJPs
+    to sort+scatter and dominated the 64px step)."""
+    from catgen.nn.spatial_transformer import affine_grid, bilinear_sample
+
+    for (h, w, oh, ow) in [(8, 8, 16, 16), (16, 16, 8, 8), (16, 12, 7, 19),
+                           (1, 5, 4, 4), (7, 1, 3, 9), (5, 5, 1, 1)]:
+        img = jnp.asarray(rng.rand(2, h, w, 3).astype(np.float32))
+        theta = jnp.tile(jnp.array([[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]]),
+                         (2, 1, 1))
+        ref = bilinear_sample(img, affine_grid(theta, oh, ow))
+        got = resize_bilinear(img, (oh, ow))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_resize_bilinear_grad_no_gather(rng):
+    """The resize VJP must stay matmul-shaped: grads flow and match the
+    gather formulation's numerically."""
+    from catgen.nn.spatial_transformer import affine_grid, bilinear_sample
+
+    img = jnp.asarray(rng.rand(2, 8, 8, 3).astype(np.float32))
+    theta = jnp.tile(jnp.array([[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]]),
+                     (2, 1, 1))
+    g1 = jax.grad(lambda x: jnp.sum(resize_bilinear(x, (16, 16)) ** 2))(img)
+    g2 = jax.grad(lambda x: jnp.sum(
+        bilinear_sample(x, affine_grid(theta, 16, 16)) ** 2))(img)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_augment_batch_shapes_and_range(key, rng):
     imgs = jnp.asarray(rng.rand(8, 32, 32, 3).astype(np.float32))
     out = augment_batch(key, imgs)

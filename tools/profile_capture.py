@@ -81,6 +81,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--bs", type=int, default=256)
     p.add_argument("--steps", type=int, default=5)
+    p.add_argument("--scale", type=int, default=32, choices=(32, 64),
+                   help="64 traces the Laplacian-style G64_stack vs D64 "
+                        "step (BASELINE config #4)")
     p.add_argument("--out", default="/tmp/catgen_trace")
     p.add_argument("--parse", default=None, metavar="DIR",
                    help="skip capture; parse an existing trace dir")
@@ -98,12 +101,18 @@ def main():
 
     config = gan.GanConfig(batch_size=args.bs, noise_dim=100,
                            acc_window=20, compute_dtype=jnp.bfloat16)
-    g = models.create_G_decoder_upsampling32c(IMG, 100)
-    d = models.create_D32_st3(IMG)
-    state = gan.init_state(g, d, config, jax.random.PRNGKey(0), IMG)
+    if args.scale == 64:
+        img = (64, 64, 3)
+        g = models.G_REGISTRY["g64_stack"](img, 100)
+        d = models.D_REGISTRY["d64"](img)
+    else:
+        img = IMG
+        g = models.create_G_decoder_upsampling32c(IMG, 100)
+        d = models.create_D32_st3(IMG)
+    state = gan.init_state(g, d, config, jax.random.PRNGKey(0), img)
     step = jax.jit(gan.make_train_step(g, d, config))
     reals = jnp.asarray(np.random.RandomState(0).rand(
-        args.bs // 2, *IMG).astype(np.float32))
+        args.bs // 2, *img).astype(np.float32))
 
     # warm up / compile outside the trace
     state, m = step(state, reals, jax.random.PRNGKey(0))
