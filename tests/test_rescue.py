@@ -116,3 +116,54 @@ def test_rescue_end_to_end(tmp_path):
     assert ckpt.load_meta(rck)["epoch"] == 5
     # fresh continuation: rescue seed = original + 1000
     assert ckpt.load_meta(rck)["config"]["seed"] == 1001
+
+
+def _write_metrics(path, rows):
+    with open(path, "w") as f:
+        for ep, ld, lg, acc in rows:
+            f.write(json.dumps({"event": "epoch", "epoch": ep,
+                                "loss_d": ld, "loss_g": lg,
+                                "acc_d": acc}) + "\n")
+
+
+def test_death_onset_finds_divergence_before_detector(tmp_path):
+    """The 4k-sweep signature: one-step divergence long before the
+    detector's min_epoch — onset is the first epoch of the degenerate
+    suffix, not the fired epoch."""
+    run = tmp_path / "run"
+    run.mkdir()
+    rows = [(e, 0.5, 2.0, 0.8) for e in range(1, 29)]
+    rows += [(e, 8.0, 15.0, 0.5) for e in range(29, 71)]
+    _write_metrics(str(run / "train_metrics.jsonl"), rows)
+    assert rescue.death_onset(str(run)) == 29
+
+
+def test_death_onset_healthy_tail_and_noise(tmp_path):
+    run = tmp_path / "run"
+    run.mkdir()
+    # healthy throughout -> None
+    _write_metrics(str(run / "train_metrics.jsonl"),
+                   [(e, 0.5, 2.0, 0.8) for e in range(1, 50)])
+    assert rescue.death_onset(str(run)) is None
+    # one noisy final epoch (shorter than min_tail) -> still None
+    _write_metrics(str(run / "train_metrics.jsonl"),
+                   [(e, 0.5, 2.0, 0.8) for e in range(1, 49)]
+                   + [(49, 9.0, 15.0, 0.5)])
+    assert rescue.death_onset(str(run)) is None
+    # no metrics file at all -> None
+    assert rescue.death_onset(str(tmp_path)) is None
+
+
+def test_pick_source_applies_death_onset_cutoff(tmp_path):
+    """A cadence save that predates the FIRING but postdates the DEATH
+    must be rejected (resuming it replays the collapse)."""
+    save = _tiny_run(tmp_path)  # ckpt meta ep3 (2 done), .old meta ep2
+    with open(os.path.join(save, "collapse.json"), "w") as f:
+        json.dump({"collapsed": True, "reason": "probe_pinned",
+                   "fired_epoch": 70}, f)
+    # metrics say the run died at epoch 2: only .old (meta ep2 = 1 done)
+    # strictly predates the death
+    rows = [(1, 0.5, 2.0, 0.8)] + [(e, 8.0, 15.0, 0.5) for e in (2, 3, 4)]
+    _write_metrics(os.path.join(save, "train_metrics.jsonl"), rows)
+    src, meta = rescue.pick_source(save)
+    assert src.endswith(".old") and meta["epoch"] == 2

@@ -44,16 +44,63 @@ def load_meta(path):
     return ckpt.load_meta(path)
 
 
+def death_onset(run_dir, min_tail=3):
+    """First epoch of the terminal degenerate stretch in
+    train_metrics.jsonl, or None if the recorded tail looks healthy.
+
+    The collapse detector's ``fired_epoch`` LAGS the actual divergence:
+    it ignores everything before ``min_epoch`` (60) and needs k
+    consecutive hits, so a cadence checkpoint can predate the *firing*
+    yet postdate the *death* — resuming it just replays the collapse.
+    Observed on the 4k-corpus sweep: one-step divergence at epoch 29
+    (loss_d 0.59 -> 5.9), detector fires at 70, the only pre-fire save
+    (epoch 50) is already dead. This scans the epoch metrics for the
+    divergence itself: an epoch is degenerate when loss_g >= 8
+    (collapsed runs pin at 14-16; healthy transients peak ~4 — same
+    threshold as CollapseConfig.loss_g_hi) or loss_d >= 2 with
+    acc_d <= 0.6 (D blown up / pinned at coin-flip). The onset is the
+    first epoch of the unbroken degenerate suffix, required to be at
+    least ``min_tail`` epochs long so a single noisy final epoch
+    doesn't disqualify a healthy checkpoint."""
+    path = os.path.join(run_dir, "train_metrics.jsonl")
+    if not os.path.exists(path):
+        return None
+    epochs = []
+    with open(path) as f:
+        for line in f:
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            if rec.get("event") != "epoch" or "loss_d" not in rec:
+                continue
+            bad = (rec.get("loss_g", 0.0) >= 8.0
+                   or (rec.get("loss_d", 0.0) >= 2.0
+                       and rec.get("acc_d", 1.0) <= 0.6))
+            epochs.append((rec["epoch"], bad))
+    if not epochs:
+        return None
+    tail = 0
+    for _, bad in reversed(epochs):
+        if not bad:
+            break
+        tail += 1
+    if tail < min_tail:
+        return None
+    return epochs[len(epochs) - tail][0]
+
+
 def pick_source(run_dir, explicit=None):
-    """Newest checkpoint that strictly predates the detector firing.
+    """Newest checkpoint that strictly predates the collapse.
 
     The abort path saves the degenerate state to its own file
     (adversarial_collapsed.ckpt), so adversarial.ckpt/.old are ordinary
     cadence saves — but the newest cadence save can still postdate the
-    collapse *onset* (e.g. a save at the exact epoch the detector fired),
-    so both are epoch-checked against collapse.json. Legacy runs whose
-    abort overwrote the rotation fail the same check and fall through to
-    .old naturally."""
+    collapse *onset*, so both are epoch-checked against the earlier of
+    collapse.json's fired_epoch and the metrics-level ``death_onset``
+    (the detector fires tens of epochs after the actual divergence).
+    Legacy runs whose abort overwrote the rotation fail the same check
+    and fall through to .old naturally."""
     if explicit:
         return explicit, load_meta(explicit)
     ck = os.path.join(run_dir, "adversarial.ckpt")
@@ -61,16 +108,25 @@ def pick_source(run_dir, explicit=None):
     cj = os.path.join(run_dir, "collapse.json")
     if os.path.exists(cj):
         fired = json.load(open(cj)).get("fired_epoch")
+    onset = death_onset(run_dir)
     for cand in (ck, ck + ".old"):
         if os.path.exists(cand):
             meta = load_meta(cand)
-            if fired is not None and meta.get("epoch", 0) >= fired:
+            ep = meta.get("epoch", 0)  # next-epoch pointer: ep-1 done
+            # fired_epoch check stays conservative (>=): the detector's
+            # k-consecutive-hit window began before it fired. The onset
+            # check is exact: onset IS the first degenerate epoch, so a
+            # state with ep-1 < onset completed only healthy epochs.
+            if fired is not None and ep >= fired:
                 continue  # saved at/after the collapse — degenerate
+            if onset is not None and ep > onset:
+                continue  # postdates the metrics-level divergence
             return cand, meta
     raise SystemExit(
         f"[rescue] no pre-collapse checkpoint in {run_dir} "
-        f"(detector fired at {fired}; every snapshot post-dates it). "
-        f"Re-run with --saveFreq below the detector latency, or pass "
+        f"(detector fired at {fired}, metrics-level death onset at "
+        f"{onset}; every snapshot post-dates the collapse). "
+        f"Re-run with --saveFreq below the onset, or pass "
         f"--from explicitly.")
 
 
