@@ -17,9 +17,22 @@ whose signatures separate cleanly:
   acc_d / loss_g    0.75-0.86 / bounded   acc_d -> 1.0 AND loss_g pinned
                     (transients to ~4)    at -log(eps) ~ 16 for hundreds
                                           of epochs (abA ep31+)
-  sanity probes     pattern low, real     BOTH pinned to the same extreme
-                    high (0.23 / 1.0)     (1.0/1.0 or 0.0/0.0) — D no
-                                          longer separates anything
+  sanity probes     pattern low, real     BOTH pinned LOW (0.0/0.0): D
+                    high (0.23 / 1.0)     rates real images as fake — every
+                                          observed genuine death shows this.
+                                          BOTH pinned HIGH (1.0/1.0) is
+                                          ambiguous: the round-4 4k-corpus
+                                          sweep had healthy runs (acc_d
+                                          0.84-0.95, nn 1.2-1.4) where D
+                                          rated the off-manifold sanity
+                                          pattern as real while still
+                                          separating reals from fakes — so
+                                          HIGH only counts when epoch-level
+                                          acc_d is ALSO degenerate
+                                          (<= acc_lo, e.g. the seed-4 death:
+                                          HIGH probes + acc_d 0.50 +
+                                          loss_g ~0, D classifying
+                                          everything as real)
   pixel saturation  0.002-0.07            0.48 (blob collapse drives
   (frac at 0/1)                           pixels to the rails)
   per-pixel std     0.12-0.20             ~0 only for flat/black collapse
@@ -64,6 +77,11 @@ class CollapseConfig:
     loss_g_hi: float = 8.0     # ... AND loss_g >= loss_g_hi (healthy
                                # transients peak ~4; collapsed pins ~14-16)
     probe_pin: float = 0.98    # both probes > pin or both < 1-pin
+    acc_lo: float = 0.6        # pinned-HIGH corroboration: only a death
+                               # signal when acc_d has also fallen to
+                               # coin-flip (D calls everything "real");
+                               # healthy pinned-HIGH runs in the round-4
+                               # 4k sweep sat at acc_d 0.84-0.95
     sat_threshold: float = 0.25
     std_floor: float = 0.03    # flat/black collapse
     # blob-collapse detector: generated samples stay FAR from the training
@@ -88,6 +106,7 @@ class CollapseDetector:
         self.verdict: Optional[str] = None
         self.fired_epoch: Optional[int] = None
         self.history: List[Dict[str, Any]] = []
+        self._last_acc_d: Optional[float] = None
 
     def _hit(self, name: str, hit: bool, k: int, epoch: int):
         self._runs[name] = self._runs[name] + 1 if hit else 0
@@ -96,6 +115,7 @@ class CollapseDetector:
             self.fired_epoch = epoch
 
     def observe_epoch(self, epoch: int, acc_d: float, loss_g: float):
+        self._last_acc_d = acc_d
         if epoch < self.cfg.min_epoch:
             return
         hit = acc_d >= self.cfg.acc_hi and loss_g >= self.cfg.loss_g_hi
@@ -113,9 +133,20 @@ class CollapseDetector:
         if epoch < self.cfg.min_epoch:
             return
         p = self.cfg.probe_pin
-        pinned = ((probe_pattern > p and probe_real > p)
-                  or (probe_pattern < 1 - p and probe_real < 1 - p))
-        self._hit("probe_pinned", pinned, self.cfg.k_viz, epoch)
+        # Pinned LOW — D rates even real images as fake — is unambiguous
+        # death (every genuine collapse observed in rounds 2-4 shows it).
+        pinned_low = probe_pattern < 1 - p and probe_real < 1 - p
+        # Pinned HIGH — D rates the off-manifold sanity pattern as real —
+        # killed two HEALTHY 4k-corpus runs in round 4 (acc_d 0.84-0.95,
+        # nn 1.2-1.4): D can fail the pattern probe while still separating
+        # reals from fakes. Count HIGH only when epoch-level acc_d has also
+        # degenerated to ~coin-flip (the real death signature: probes HIGH
+        # + acc_d 0.50 + loss_g ~0, D classifying everything as real).
+        acc_dead = (self._last_acc_d is not None
+                    and self._last_acc_d <= self.cfg.acc_lo)
+        pinned_high = probe_pattern > p and probe_real > p and acc_dead
+        self._hit("probe_pinned", pinned_low or pinned_high,
+                  self.cfg.k_viz, epoch)
         self._hit("saturated", sample_sat > self.cfg.sat_threshold,
                   self.cfg.k_viz, epoch)
         self._hit("flat", sample_std < self.cfg.std_floor,

@@ -57,17 +57,61 @@ def test_early_epochs_ignored():
 
 
 def test_probe_pinned_fires_both_extremes():
-    for hi in (True, False):
-        det = collapse.CollapseDetector()
-        v = 1.0 if hi else 0.0
-        for e in range(60, 90, 5):
-            det.observe_viz(e, v, v, 0.01, 0.15)
-        assert det.verdict == "probe_pinned"
+    # pinned LOW fires on probes alone (unambiguous: D rates reals fake)
+    det = collapse.CollapseDetector()
+    for e in range(60, 90, 5):
+        det.observe_viz(e, 0.0, 0.0, 0.01, 0.15)
+    assert det.verdict == "probe_pinned"
+    # pinned HIGH fires only with degenerate epoch-level acc_d (the
+    # seed-4 death signature: D classifies everything as real)
+    det = collapse.CollapseDetector()
+    for e in range(60, 90, 5):
+        det.observe_epoch(e, 0.50, 0.01)
+        det.observe_viz(e, 1.0, 1.0, 0.01, 0.15)
+    assert det.verdict == "probe_pinned"
     # pattern low / real high (the healthy direction) never fires
     det = collapse.CollapseDetector()
     for e in range(60, 200, 5):
         det.observe_viz(e, 0.01, 0.99, 0.01, 0.15)
     assert det.verdict is None
+
+
+def test_probe_pinned_high_with_healthy_acc_not_flagged():
+    """Round-4 4k-corpus seeds 2/3: probes pinned HIGH for many viz
+    intervals while acc_d stayed 0.84-0.95 and nn/std were healthy — D
+    rated the off-manifold sanity pattern as real but still separated
+    reals from fakes. Must NOT fire (these were false-positive kills)."""
+    det = collapse.CollapseDetector()
+    for e in range(60, 400):
+        det.observe_epoch(e, 0.89, 3.5)
+        if e % 5 == 0:
+            det.observe_viz(e, 1.0, 1.0, 0.025, 0.07, nn_ratio=1.25)
+    assert det.verdict is None
+    # without any epoch observations (no acc evidence), HIGH alone stays
+    # conservative and does not fire either
+    det2 = collapse.CollapseDetector()
+    for e in range(60, 200, 5):
+        det2.observe_viz(e, 1.0, 1.0, 0.025, 0.07)
+    assert det2.verdict is None
+
+
+def test_probe_pinned_mixed_direction_seed4_signature():
+    """Round-4 seed 4: two HIGH hits WITH acc_d ~0.50/loss_g ~0 (D dead,
+    everything rated real) then a LOW hit — all three corroborated, so the
+    mixed-direction streak still fires."""
+    det = collapse.CollapseDetector()
+    for e in range(60, 175):
+        det.observe_epoch(e, 0.93, 3.5)
+        if e % 5 == 0:
+            det.observe_viz(e, 0.2, 1.0, 0.02, 0.06, nn_ratio=1.2)
+    for e, (pp, pr, acc, lg) in zip(
+            (175, 180, 185),
+            [(1.0, 1.0, 0.500, 0.0), (1.0, 1.0, 0.501, 0.01),
+             (0.0, 0.0, 0.500, 0.0)]):
+        det.observe_epoch(e, acc, lg)
+        det.observe_viz(e, pp, pr, 0.03, 0.06, nn_ratio=1.2)
+    assert det.verdict == "probe_pinned"
+    assert det.fired_epoch == 185
 
 
 def test_saturation_and_flat_fire():
