@@ -31,11 +31,15 @@ import jax
 
 
 def _flatten(tree: Any) -> Dict[str, np.ndarray]:
-    flat = {}
-    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
-        key = jax.tree_util.keystr(path)
-        flat[key] = np.asarray(leaf)
-    return flat
+    paths_leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+    # One batched device->host fetch: jax.device_get issues
+    # copy_to_host_async on every leaf before blocking, so a TrainState
+    # with hundreds of leaves costs ~one tunnel round trip instead of one
+    # per leaf (the per-leaf np.asarray formulation measured ~25 s per
+    # adversarial.ckpt save on the axon tunnel).
+    leaves = jax.device_get([leaf for _, leaf in paths_leaves])
+    return {jax.tree_util.keystr(path): np.asarray(leaf)
+            for (path, _), leaf in zip(paths_leaves, leaves)}
 
 
 FORMAT_VERSION = 2  # v2: adds the format_version meta field
