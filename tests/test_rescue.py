@@ -154,6 +154,44 @@ def test_death_onset_healthy_tail_and_noise(tmp_path):
     assert rescue.death_onset(str(tmp_path)) is None
 
 
+def test_death_onset_viz_level_far_from_data(tmp_path):
+    """4k-sweep seed 2's death mode has NO epoch-level signature (loss_d
+    0.70, acc_d 0.51-0.57): only the viz events' nn_l2_ratio climbs
+    through the threshold. The onset must come from the viz stream."""
+    run = tmp_path / "run"
+    run.mkdir()
+    with open(run / "train_metrics.jsonl", "w") as f:
+        for e in range(1, 146):
+            f.write(json.dumps({"event": "epoch", "epoch": e,
+                                "loss_d": 0.70, "loss_g": 0.7,
+                                "acc_d": 0.55}) + "\n")
+            if e % 5 == 0:
+                nn = 1.25 if e < 135 else 1.55
+                f.write(json.dumps({"event": "viz", "epoch": e,
+                                    "d_probe_pattern": 0.46,
+                                    "d_probe_real": 0.50,
+                                    "sample_sat": 0.04,
+                                    "sample_std": 0.12,
+                                    "nn_l2_ratio": nn}) + "\n")
+    assert rescue.death_onset(str(run)) == 135
+    # a single bad final viz (shorter than min_viz_tail) -> None
+    with open(run / "train_metrics.jsonl", "w") as f:
+        for e in range(1, 100):
+            f.write(json.dumps({"event": "epoch", "epoch": e,
+                                "loss_d": 0.70, "loss_g": 0.7,
+                                "acc_d": 0.55}) + "\n")
+            if e % 5 == 0:
+                f.write(json.dumps({"event": "viz", "epoch": e,
+                                    "d_probe_pattern": 0.46,
+                                    "d_probe_real": 0.50,
+                                    "sample_sat": 0.04,
+                                    "sample_std": 0.12,
+                                    "nn_l2_ratio":
+                                        1.55 if e == 95 else 1.25})
+                        + "\n")
+    assert rescue.death_onset(str(run)) is None
+
+
 def test_pick_source_applies_death_onset_cutoff(tmp_path):
     """A cadence save that predates the FIRING but postdates the DEATH
     must be rejected (resuming it replays the collapse)."""

@@ -44,7 +44,24 @@ def load_meta(path):
     return ckpt.load_meta(path)
 
 
-def death_onset(run_dir, min_tail=3):
+def _terminal_suffix_start(flags, min_tail):
+    """First epoch of the unbroken degenerate suffix of ``flags``
+    ([(epoch, bad)]), or None if the suffix is shorter than ``min_tail``
+    (a single noisy final observation must not disqualify a healthy
+    checkpoint)."""
+    if not flags:
+        return None
+    tail = 0
+    for _, bad in reversed(flags):
+        if not bad:
+            break
+        tail += 1
+    if tail < min_tail:
+        return None
+    return flags[len(flags) - tail][0]
+
+
+def death_onset(run_dir, min_tail=3, min_viz_tail=2):
     """First epoch of the terminal degenerate stretch in
     train_metrics.jsonl, or None if the recorded tail looks healthy.
 
@@ -54,40 +71,50 @@ def death_onset(run_dir, min_tail=3):
     yet postdate the *death* — resuming it just replays the collapse.
     Observed on the 4k-corpus sweep: one-step divergence at epoch 29
     (loss_d 0.59 -> 5.9), detector fires at 70, the only pre-fire save
-    (epoch 50) is already dead. This scans the epoch metrics for the
-    divergence itself: an epoch is degenerate when loss_g >= 8
-    (collapsed runs pin at 14-16; healthy transients peak ~4 — same
-    threshold as CollapseConfig.loss_g_hi) or loss_d >= 2 with
-    acc_d <= 0.6 (D blown up / pinned at coin-flip). The onset is the
-    first epoch of the unbroken degenerate suffix, required to be at
-    least ``min_tail`` epochs long so a single noisy final epoch
-    doesn't disqualify a healthy checkpoint."""
+    (epoch 50) is already dead. This scans the metrics for the
+    divergence itself, at both granularities:
+
+    * epoch level: loss_g >= loss_g_hi (collapsed runs pin at 14-16;
+      healthy transients peak ~4) or loss_d >= 2 with acc_d <= 0.6
+      (D blown up / pinned at coin-flip);
+    * viz level (the far_from_data/saturated/flat death modes have NO
+      epoch-level signature — 4k-sweep seed 2 died with loss_d 0.70,
+      acc_d 0.51-0.57 while nn_l2_ratio climbed through the threshold):
+      nn_l2_ratio >= nn_ratio_hi, sample_sat > sat_threshold,
+      sample_std < std_floor, or both probes pinned low.
+
+    The onset is the earlier of the two terminal-suffix starts.
+    Thresholds come from CollapseConfig so the two stay in lockstep."""
+    from catgen.eval.collapse import CollapseConfig
+    cfg = CollapseConfig()
     path = os.path.join(run_dir, "train_metrics.jsonl")
     if not os.path.exists(path):
         return None
-    epochs = []
+    epochs, vizzes = [], []
     with open(path) as f:
         for line in f:
             try:
                 rec = json.loads(line)
             except ValueError:
                 continue
-            if rec.get("event") != "epoch" or "loss_d" not in rec:
-                continue
-            bad = (rec.get("loss_g", 0.0) >= 8.0
-                   or (rec.get("loss_d", 0.0) >= 2.0
-                       and rec.get("acc_d", 1.0) <= 0.6))
-            epochs.append((rec["epoch"], bad))
-    if not epochs:
-        return None
-    tail = 0
-    for _, bad in reversed(epochs):
-        if not bad:
-            break
-        tail += 1
-    if tail < min_tail:
-        return None
-    return epochs[len(epochs) - tail][0]
+            if rec.get("event") == "epoch" and "loss_d" in rec:
+                bad = (rec.get("loss_g", 0.0) >= cfg.loss_g_hi
+                       or (rec.get("loss_d", 0.0) >= 2.0
+                           and rec.get("acc_d", 1.0) <= 0.6))
+                epochs.append((rec["epoch"], bad))
+            elif rec.get("event") == "viz":
+                nn = rec.get("nn_l2_ratio")
+                lo = 1 - cfg.probe_pin
+                bad = ((nn is not None and nn >= cfg.nn_ratio_hi)
+                       or rec.get("sample_sat", 0.0) > cfg.sat_threshold
+                       or rec.get("sample_std", 1.0) < cfg.std_floor
+                       or (rec.get("d_probe_pattern", 0.5) < lo
+                           and rec.get("d_probe_real", 0.5) < lo))
+                vizzes.append((rec["epoch"], bad))
+    onsets = [o for o in (_terminal_suffix_start(epochs, min_tail),
+                          _terminal_suffix_start(vizzes, min_viz_tail))
+              if o is not None]
+    return min(onsets) if onsets else None
 
 
 def pick_source(run_dir, explicit=None):
