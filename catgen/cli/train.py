@@ -45,6 +45,12 @@ def parse_args(argv=None):
     p.add_argument("--D_maxAcc", type=float, default=1.01)
     p.add_argument("--D_clamp", type=float, default=1.0)
     p.add_argument("--G_clamp", type=float, default=5.0)
+    p.add_argument("--G_freeze", default="",
+                   help="comma list of top-level G children to freeze "
+                        "(grads zeroed, params+BN state pinned) — stage-"
+                        "wise pyramid training, e.g. --G_freeze "
+                        "00_G32up_c with --G g64_stack after "
+                        "tools/stack64_warmstart.py")
     p.add_argument("--dtype", default="f32", choices=["f32", "bf16"],
                    help="activation compute dtype (bf16 = TPU fast path)")
     p.add_argument("--weightsVisFreq", type=int, default=0,
@@ -95,6 +101,8 @@ def main(argv=None):
         d_iterations=args.D_iterations, g_iterations=args.G_iterations,
         d_max_acc=args.D_maxAcc, augment=args.augment,
         normalized_inputs=args.normalize,
+        g_frozen_children=tuple(
+            s for s in args.G_freeze.split(",") if s),
         compute_dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32)
     dataset = build_dataset(args)
     harness = GanHarness(hc, gc, dataset)

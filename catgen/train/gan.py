@@ -83,6 +83,18 @@ class GanConfig:
     normalized_inputs: bool = False       # reals arrive [-1,1] (--normalize):
                                           # augment_batch assumes [0,1], so
                                           # the step denormalizes around it
+    g_frozen_children: Tuple[str, ...] = ()
+                                          # top-level G children excluded
+                                          # from training: grads zeroed,
+                                          # params+BN state pinned. Stage-
+                                          # wise pyramid training (reference
+                                          # README.md:156-188): at 64px the
+                                          # warm-started base G stays fixed
+                                          # and only the RefineStage learns
+                                          # — a fresh D's early garbage
+                                          # gradients otherwise destroy the
+                                          # trained base within ~20 epochs
+                                          # (runs/longrun64b attempt 1).
 
     def make_optimizers(self) -> Tuple[optim.Optimizer, optim.Optimizer]:
         return (self._make(self.d_optimizer, self.d_lr, self.d_sgd_lr,
@@ -254,6 +266,35 @@ def make_train_step(g: Module, d: Module, config: GanConfig):
     g_apply = _apply(g)
     d_apply = _apply(d)
 
+    frozen = tuple(config.g_frozen_children)
+
+    def _zero_frozen_grads(grads):
+        """Zero the frozen children's G grads (-> exactly-zero adam/sgd
+        updates and moments)."""
+        if not frozen:
+            return grads
+        out = dict(grads)
+        for name in frozen:
+            if name not in out:
+                raise KeyError(
+                    f"g_frozen_children entry {name!r} is not a top-level "
+                    f"G child (children: {sorted(out)})")
+            out[name] = jax.tree_util.tree_map(jnp.zeros_like, out[name])
+        return out
+
+    def _pin_frozen(new_tree, old_tree):
+        """Pin frozen children's params/state to their pre-step values —
+        exact freezing even under l1/l2 penalties (which add
+        params-dependent grad terms after the zeroing) and BN
+        running-stat advancement in training-mode forwards."""
+        if not frozen:
+            return new_tree
+        out = dict(new_tree)
+        for name in frozen:
+            if name in out:
+                out[name] = old_tree[name]
+        return out
+
     def d_phase(state: TrainState, reals, rng, it):
         rng_noise, rng_g, rng_d = jax.random.split(jax.random.fold_in(rng, it), 3)
         noise = uniform_noise(rng_noise, half, config.noise_dim, cdt)
@@ -263,6 +304,7 @@ def make_train_step(g: Module, d: Module, config: GanConfig):
         # training-mode G forward updates the running estimates.
         g_vars = {"params": state.g_params, "state": state.g_state}
         fakes, g_state = g_apply(g_vars, noise, True, rng_g)
+        g_state = _pin_frozen(g_state, state.g_state)
         fakes = lax.stop_gradient(fakes)
         inputs = jnp.concatenate([reals.astype(cdt), fakes], axis=0)
         targets = jnp.concatenate([jnp.ones((half,)), jnp.zeros((half,))])
@@ -328,11 +370,14 @@ def make_train_step(g: Module, d: Module, config: GanConfig):
 
         (loss, g_state), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.g_params)
+        grads = _zero_frozen_grads(grads)
         if config.axis_name is not None:
             grads = lax.pmean(grads, config.axis_name)
         g_params, g_opt = _update(
             g_optim, grads, state.g_opt, state.g_params,
             config.g_l1, config.g_l2, config.g_clamp)
+        g_params = _pin_frozen(g_params, state.g_params)
+        g_state = _pin_frozen(g_state, state.g_state)
         state = state._replace(g_params=g_params, g_state=g_state, g_opt=g_opt)
         return state, loss
 

@@ -246,3 +246,46 @@ def test_restored_state_generates_identical_samples(rng, tmp_path):
     a = gan.generate(g, state, noise)
     b = gan.generate(g, restored, noise)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_g_freeze_pins_children(rng):
+    """Stage-wise pyramid training (--G_freeze): frozen G children are
+    bit-identical after steps (params, BN state, adam moments) while the
+    rest of G still trains."""
+    g, d = tiny_g(), tiny_d()
+    first = sorted(g.init(jax.random.PRNGKey(0),
+                          (1, NOISE))["params"])[0]
+    cfg = gan.GanConfig(batch_size=16, noise_dim=NOISE, acc_window=4,
+                        g_frozen_children=(first,))
+    state = gan.init_state(g, d, cfg, jax.random.PRNGKey(0), IMG)
+    step = jax.jit(gan.make_train_step(g, d, cfg))
+    s = state
+    for i in range(3):
+        s, _ = step(s, _reals(rng, 8), jax.random.PRNGKey(i))
+    for group in ("g_params", "g_state"):
+        old = getattr(state, group).get(first, {})
+        new = getattr(s, group).get(first, {})
+        for a, b in zip(jax.tree_util.tree_leaves(old),
+                        jax.tree_util.tree_leaves(new)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        {k: v for k, v in state.g_params.items() if k != first},
+        {k: v for k, v in s.g_params.items() if k != first})
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
+    # zeroed grads leave the frozen child's adam moments exactly zero
+    opt_tree = gan.optim.opt_state_to_tree(s.g_opt, s.g_params)
+    for leaf in jax.tree_util.tree_leaves(
+            [m.get(first, {}) for m in opt_tree if isinstance(m, dict)]):
+        assert float(jnp.abs(leaf).max()) == 0.0
+
+
+def test_g_freeze_unknown_child_raises(rng):
+    g, d = tiny_g(), tiny_d()
+    cfg = gan.GanConfig(batch_size=16, noise_dim=NOISE, acc_window=4,
+                        g_frozen_children=("99_Nope",))
+    state = gan.init_state(g, d, cfg, jax.random.PRNGKey(0), IMG)
+    step = gan.make_train_step(g, d, cfg)
+    import pytest
+    with pytest.raises(KeyError, match="99_Nope"):
+        step(state, _reals(rng, 8), jax.random.PRNGKey(0))

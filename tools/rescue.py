@@ -198,6 +198,8 @@ def train_cmd(meta, rescue_dir, network, seed, epochs_left, args):
         cmd += ["--dataset"] + list(args.dataset)
     if gc.get("augment"):
         cmd.append("--augment")
+    if gc.get("g_frozen_children"):
+        cmd += ["--G_freeze", ",".join(gc["g_frozen_children"])]
     if hc.get("normalize"):
         cmd.append("--normalize")
     return cmd
