@@ -16,15 +16,19 @@ before device execution completes; only a host fetch synchronizes. The
 loop chains steps through the train state and ends with a scalar fetch of
 the final state, which bounds the entire chain (see tools/perf_probe.py).
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"};
-vs_baseline = value / 20000 (BASELINE.md target).
+Prints JSON lines {"metric", "value", "unit", "vs_baseline"};
+vs_baseline = value / 20000 (BASELINE.md target). The default mode
+(``all``) emits ALL FIVE BASELINE configs as JSONL — infer, V-train,
+pretrain, 64px pyramid train, and the 32px train headline LAST (the
+driver parses the final line).
 
 Env knobs: BENCH_BS (per-chip batch, default 640; 256 at scale 64),
 BENCH_STEPS (default 50), BENCH_DTYPE (bf16|f32, default bf16),
 BENCH_SCALE (32|64 — 64 benches the Laplacian-style G64_stack vs D64
 pyramid config, README.md:156-188), BENCH_CORPUS (NN corpus size for
-infer, default 16384; the reference's real workload is ~100k,
+infer, default 100000 = the reference's real ~100k-crop workload,
 README.md:281), BENCH_MODE:
+  all      all five configs as JSONL, headline last (default)
   train    combined G+D train step (the headline, BASELINE config)
   infer    sample.lua batch-inference pipeline: generate 1024, D-rank,
            NN-search vs the corpus (BASELINE.json config #5)
@@ -251,18 +255,29 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", "50"))
     dtype = (jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16"
              else jnp.float32)
-    mode = os.environ.get("BENCH_MODE", "train")
+    mode = os.environ.get("BENCH_MODE", "all")
     augment = os.environ.get("BENCH_AUGMENT", "1") == "1"
-    corpus_n = int(os.environ.get("BENCH_CORPUS", "16384"))
+    corpus_n = int(os.environ.get("BENCH_CORPUS", "100000"))
     if mode == "infer":
-        result = bench_infer(max(steps, 5), dtype, corpus_n)
+        results = [bench_infer(max(steps, 5), dtype, corpus_n)]
     elif mode == "train_v":
-        result = bench_train_v(batch, steps, dtype)
+        results = [bench_train_v(batch, steps, dtype)]
     elif mode == "pretrain":
-        result = bench_pretrain(batch, steps, dtype)
+        results = [bench_pretrain(batch, steps, dtype)]
+    elif mode == "train":
+        results = [bench_train(batch, steps, dtype, augment, scale)]
     else:
-        result = bench_train(batch, steps, dtype, augment, scale)
-    print(json.dumps(result))
+        # all five BASELINE configs as JSONL, the 32px train headline
+        # LAST so the driver's tail-line parse records it (VERDICT r4 #3)
+        results = [
+            bench_infer(max(steps, 5), dtype, corpus_n),
+            bench_train_v(batch, steps, dtype),
+            bench_pretrain(batch, steps, dtype),
+            bench_train(256, steps, dtype, augment, scale=64),
+            bench_train(batch, steps, dtype, augment, scale=32),
+        ]
+    for result in results:
+        print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

@@ -295,6 +295,28 @@ def make_train_step(g: Module, d: Module, config: GanConfig):
                 out[name] = old_tree[name]
         return out
 
+    def _pin_frozen_opt(new_opt, old_opt, params):
+        """Pin frozen children's OPTIMIZER-state subtrees too (round-4
+        advisor): grads are zeroed before clamp_and_penalize, which
+        re-adds params-dependent L1/L2 terms, so with --G_L1/--G_L2 > 0
+        the frozen children's moments would otherwise accumulate pure
+        weight-decay gradients every step — polluting the checkpointed
+        g_opt that a later whole-stack unfreeze resumes from. Fields that
+        mirror the params structure get their frozen children restored;
+        scalar fields (step counters) pass through. In flat mode the
+        state round-trips through the per-leaf representation (pure
+        elementwise reshuffles, fused by XLA)."""
+        if not frozen:
+            return new_opt
+        new_t = (optim.opt_state_to_tree(new_opt, params)
+                 if use_flat else new_opt)
+        old_t = (optim.opt_state_to_tree(old_opt, params)
+                 if use_flat else old_opt)
+        fields = [(_pin_frozen(nf, of) if isinstance(nf, dict) else nf)
+                  for nf, of in zip(new_t, old_t)]
+        pinned = type(new_t)(*fields)
+        return optim.opt_state_to_flat(pinned) if use_flat else pinned
+
     def d_phase(state: TrainState, reals, rng, it):
         rng_noise, rng_g, rng_d = jax.random.split(jax.random.fold_in(rng, it), 3)
         noise = uniform_noise(rng_noise, half, config.noise_dim, cdt)
@@ -378,6 +400,7 @@ def make_train_step(g: Module, d: Module, config: GanConfig):
             config.g_l1, config.g_l2, config.g_clamp)
         g_params = _pin_frozen(g_params, state.g_params)
         g_state = _pin_frozen(g_state, state.g_state)
+        g_opt = _pin_frozen_opt(g_opt, state.g_opt, state.g_params)
         state = state._replace(g_params=g_params, g_state=g_state, g_opt=g_opt)
         return state, loss
 

@@ -4,6 +4,7 @@ loss decreases, gate semantics, determinism, epoch scan."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from catgen import nn
 from catgen.train import gan
@@ -278,6 +279,42 @@ def test_g_freeze_pins_children(rng):
     for leaf in jax.tree_util.tree_leaves(
             [m.get(first, {}) for m in opt_tree if isinstance(m, dict)]):
         assert float(jnp.abs(leaf).max()) == 0.0
+
+
+@pytest.mark.parametrize("flat_mode", ["tree", "flat"])
+def test_g_freeze_pins_opt_moments_under_l2(rng, monkeypatch, flat_mode):
+    """Round-4 advisor: with --G_L1/--G_L2 > 0 the penalty re-adds
+    params-dependent grad terms AFTER the frozen-grad zeroing, so without
+    opt-state pinning the frozen child's adam moments accumulate pure
+    weight-decay gradients — polluting the checkpointed g_opt a later
+    whole-stack unfreeze would resume from. Frozen moments must stay
+    exactly zero even with l1/l2 on, in both flat and per-leaf modes."""
+    from catgen.kernels import config as kconfig
+    monkeypatch.setattr(kconfig, "flat_opt", flat_mode)
+    g, d = tiny_g(), tiny_d()
+    first = sorted(g.init(jax.random.PRNGKey(0), (1, NOISE))["params"])[0]
+    cfg = gan.GanConfig(batch_size=16, noise_dim=NOISE,
+                        acc_window=4, g_l1=1e-3, g_l2=1e-2,
+                        g_frozen_children=(first,))
+    state = gan.init_state(g, d, cfg, jax.random.PRNGKey(0), IMG)
+    step = jax.jit(gan.make_train_step(g, d, cfg))
+    s = state
+    for i in range(3):
+        s, _ = step(s, _reals(rng, 8), jax.random.PRNGKey(i))
+    opt_tree = gan.optim.opt_state_to_tree(s.g_opt, s.g_params)
+    for leaf in jax.tree_util.tree_leaves(
+            [m.get(first, {}) for m in opt_tree if isinstance(m, dict)]):
+        assert float(jnp.abs(leaf).max()) == 0.0, flat_mode
+    # and the params are still pinned despite the penalties
+    for a, b in zip(jax.tree_util.tree_leaves(state.g_params[first]),
+                    jax.tree_util.tree_leaves(s.g_params[first])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # unfrozen children still accumulate nonzero moments
+    moved = [float(jnp.abs(l).max()) for m in opt_tree
+             if isinstance(m, dict)
+             for k, v in m.items() if k != first
+             for l in jax.tree_util.tree_leaves(v)]
+    assert max(moved) > 0
 
 
 def test_g_freeze_unknown_child_raises(rng):

@@ -173,7 +173,9 @@ def test_death_onset_viz_level_far_from_data(tmp_path):
                                     "sample_sat": 0.04,
                                     "sample_std": 0.12,
                                     "nn_l2_ratio": nn}) + "\n")
-    assert rescue.death_onset(str(run)) == 135
+    # first degenerate viz is logged at pointer 135, which is the state a
+    # meta-epoch-135 checkpoint holds -> largest safe meta epoch is 134
+    assert rescue.death_onset(str(run)) == 134
     # a single bad final viz (shorter than min_viz_tail) -> None
     with open(run / "train_metrics.jsonl", "w") as f:
         for e in range(1, 100):
@@ -203,5 +205,32 @@ def test_pick_source_applies_death_onset_cutoff(tmp_path):
     # strictly predates the death
     rows = [(1, 0.5, 2.0, 0.8)] + [(e, 8.0, 15.0, 0.5) for e in (2, 3, 4)]
     _write_metrics(os.path.join(save, "train_metrics.jsonl"), rows)
+    src, meta = rescue.pick_source(save)
+    assert src.endswith(".old") and meta["epoch"] == 2
+
+
+def test_pick_source_rejects_save_on_viz_onset_epoch(tmp_path):
+    """Round-4 advisor finding: a viz record at epoch O is logged at the
+    PRE-epoch pointer, so a cadence save with meta epoch == O holds the
+    degenerate state the viz observed. save_freq and vis_freq share
+    multiples, so this coincidence is the common case — the save must be
+    rejected, falling back to .old."""
+    save = _tiny_run(tmp_path)  # ckpt meta ep3 (2 done), .old meta ep2
+    with open(os.path.join(save, "collapse.json"), "w") as f:
+        json.dump({"collapsed": True, "reason": "far_from_data",
+                   "fired_epoch": 70}, f)
+    # healthy epoch stream; viz stream dies at pointer 3 == ckpt meta ep
+    with open(os.path.join(save, "train_metrics.jsonl"), "w") as f:
+        for e in range(1, 5):
+            f.write(json.dumps({"event": "epoch", "epoch": e,
+                                "loss_d": 0.7, "loss_g": 0.7,
+                                "acc_d": 0.55}) + "\n")
+            f.write(json.dumps({"event": "viz", "epoch": e,
+                                "d_probe_pattern": 0.46,
+                                "d_probe_real": 0.50,
+                                "sample_sat": 0.04, "sample_std": 0.12,
+                                "nn_l2_ratio": 1.25 if e < 3 else 1.9})
+                    + "\n")
+    assert rescue.death_onset(save) == 2  # largest safe meta epoch
     src, meta = rescue.pick_source(save)
     assert src.endswith(".old") and meta["epoch"] == 2

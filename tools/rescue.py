@@ -83,8 +83,11 @@ def death_onset(run_dir, min_tail=3, min_viz_tail=2):
       nn_l2_ratio >= nn_ratio_hi, sample_sat > sat_threshold,
       sample_std < std_floor, or both probes pinned low.
 
-    The onset is the earlier of the two terminal-suffix starts.
-    Thresholds come from CollapseConfig so the two stay in lockstep."""
+    Returns the largest checkpoint meta epoch that is still safe to
+    resume (viz-stream onsets are shifted by one to the epoch-record
+    convention — see the inline note), or None if the recorded tail
+    looks healthy. Thresholds come from CollapseConfig so the detector
+    and this scan stay in lockstep."""
     from catgen.eval.collapse import CollapseConfig
     cfg = CollapseConfig()
     path = os.path.join(run_dir, "train_metrics.jsonl")
@@ -111,8 +114,22 @@ def death_onset(run_dir, min_tail=3, min_viz_tail=2):
                        or (rec.get("d_probe_pattern", 0.5) < lo
                            and rec.get("d_probe_real", 0.5) < lo))
                 vizzes.append((rec["epoch"], bad))
+    viz_onset = _terminal_suffix_start(vizzes, min_viz_tail)
+    if viz_onset is not None:
+        # Viz records are logged at the PRE-epoch pointer (harness logs
+        # viz at int(state.epoch)), so a viz-level onset O describes
+        # exactly the state a checkpoint with meta epoch O holds —
+        # whereas an epoch record O describes the O-th *completed* epoch
+        # (logged post-increment as int(state.epoch)-1). Normalize both
+        # streams to "largest safe checkpoint meta epoch == onset" by
+        # shifting viz onsets down one, so pick_source's single
+        # ``ep > onset`` test is exact for either provenance. (Round-4
+        # advisor finding: save_freq and vis_freq share multiples, so a
+        # cadence save regularly lands ON the viz onset epoch and held
+        # the already-degenerate state.)
+        viz_onset -= 1
     onsets = [o for o in (_terminal_suffix_start(epochs, min_tail),
-                          _terminal_suffix_start(vizzes, min_viz_tail))
+                          viz_onset)
               if o is not None]
     return min(onsets) if onsets else None
 
