@@ -51,6 +51,7 @@ watches them.
 from __future__ import annotations
 
 import dataclasses
+import gzip
 import json
 from typing import Any, Dict, List, Optional
 
@@ -166,9 +167,11 @@ def scan_metrics(jsonl_path: str,
     """Offline classification of a finished/partial run from its
     train_metrics.jsonl (the sweep table path). Viz events need the
     ``sample_sat``/``sample_std`` fields (logged from round 3 on); older
-    trails still get the epoch-level and probe signals."""
+    trails still get the epoch-level and probe signals. ``.gz`` paths are
+    read transparently (archived trajectories, tests/data/trajectories)."""
     det = CollapseDetector(config)
-    with open(jsonl_path) as f:
+    opener = gzip.open if str(jsonl_path).endswith(".gz") else open
+    with opener(jsonl_path, "rt") as f:
         for line in f:
             try:
                 ev = json.loads(line)

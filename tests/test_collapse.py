@@ -269,3 +269,73 @@ def test_harness_acts_on_final_epoch_firing(tmp_path):
     assert rep["reason"] == "d_runaway"
     assert os.path.exists(os.path.join(save, "adversarial_collapsed.ckpt"))
     assert not os.path.exists(os.path.join(save, "adversarial.ckpt"))
+
+
+# ---------------------------------------------------------------------------
+# Trajectory regression suite (round-4 verdict #4): replay COMMITTED real
+# run trajectories (gzipped train_metrics.jsonl under
+# tests/data/trajectories/) through the detector. Healthy trails must never
+# fire (precision); genuine deaths must fire with the recorded reason/epoch
+# (recall). These pin the calibration: any threshold change that would have
+# mis-killed a known-healthy run — like round 4's direction-blind
+# probe_pinned rule that false-positive-killed corpus4k seeds 2/3 — fails
+# here before it reaches a sweep.
+# ---------------------------------------------------------------------------
+
+TRAJ = os.path.join(os.path.dirname(__file__), "data", "trajectories")
+
+
+def _scan(name):
+    return collapse.scan_metrics(os.path.join(TRAJ, name))
+
+
+def test_trajectory_healthy_longrun64b_never_fires():
+    """400-epoch healthy 64px stage-wise run (runs/longrun64b, --G_freeze;
+    QUALITY.md pyramid section) — zero firings."""
+    rep = _scan("longrun64b_healthy400.jsonl.gz")
+    assert not rep["collapsed"], rep
+
+
+def test_trajectory_healthy_corpus4k_s3_never_fires():
+    """Round-4 corpus4k seed 3: the old direction-blind probe_pinned rule
+    false-positive-killed it at ep70 (runs/sweep4k/resume_queue.sh); after
+    resume it trained to ep819 with healthy face grids
+    (artifacts/sweep4k/s3_epochs). The full 819-epoch trail must produce
+    zero firings — its probes pin HIGH while acc_d stays 0.65-0.95."""
+    rep = _scan("corpus4k_s3_healthy819.jsonl.gz")
+    assert not rep["collapsed"], rep
+
+
+def test_trajectory_corpus4k_s2_fires_true_death_not_falsepos():
+    """Round-4 corpus4k seed 2: false-positive-killed (probe_pinned HIGH,
+    healthy acc_d) at ep95; resumed, then GENUINELY died — blob regime,
+    nn_l2_ratio divergence — at ep145
+    (artifacts/sweep4k/s2_falsepos/epoch_000145_true_far_from_data.png).
+    The detector must stay silent through ep95 and fire far_from_data at
+    the real death."""
+    rep = _scan("corpus4k_s2_dies145.jsonl.gz")
+    assert rep["collapsed"]
+    assert rep["reason"] == "far_from_data"
+    assert rep["fired_epoch"] == 145
+
+
+def test_trajectory_corpus4k_s4_probe_pinned_true_positive():
+    """Round-4 corpus4k seed 4 genuinely died ~ep175 (probes HIGH + acc_d
+    at coin-flip — D classifying everything as real). The direction-aware
+    probe_pinned rule must still catch THIS one (recall guard for the
+    round-4 precision fix)."""
+    rep = _scan("corpus4k_s4_dies185.jsonl.gz")
+    assert rep["collapsed"]
+    assert rep["reason"] == "probe_pinned"
+    assert rep["fired_epoch"] == 185
+
+
+def test_trajectory_longrun64_nofreeze_fires():
+    """64px pyramid stage trained WITHOUT --G_freeze wrecks the pretrained
+    32px core and diverges from the data manifold (QUALITY.md; the wrecked
+    grids are committed in artifacts/longrun64/epochs/nofreeze_*). Must
+    fire far_from_data."""
+    rep = _scan("longrun64_nofreeze_dies220.jsonl.gz")
+    assert rep["collapsed"]
+    assert rep["reason"] == "far_from_data"
+    assert rep["fired_epoch"] == 220
