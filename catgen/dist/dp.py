@@ -85,11 +85,18 @@ def make_dp_train_step(g: Module, d: Module, config: gan.GanConfig,
 
 
 def make_dp_train_epoch(g: Module, d: Module, config: gan.GanConfig,
-                        mesh: Mesh):
-    """Epoch scan over pre-batched reals (nb, ndev*B/2, H, W, C)."""
+                        mesh: Mesh, image_shape=None):
+    """Epoch scan over pre-batched reals (nb, ndev*B/2, H, W, C).
+
+    ``image_shape=(H, W, C)`` switches the expected layout to FLAT images
+    (nb, ndev*B/2, H*W*C), exactly like ``gan.make_train_epoch``: resident
+    NHWC C=3 epoch tensors are tile-padded 3->128 on TPU (42x HBM,
+    KERNELS.md §4c) and DP sharding divides that by the device count but
+    each shard still pays the padding — flat staging pads nothing. The
+    batch dim stays dim 1, so the ``P(None, axis)`` sharding is unchanged."""
     config, axis = _with_axis(config)
     assert axis in mesh.axis_names
-    epoch = gan.make_train_epoch(g, d, config)
+    epoch = gan.make_train_epoch(g, d, config, image_shape=image_shape)
 
     def dp_epoch(state, real_batches, rng):
         local_rng = fold_in_axis_index(rng, axis)
@@ -135,16 +142,21 @@ def make_dp_v_step(v: Module, config, mesh: Mesh):
     return jax.jit(sharded)
 
 
-def make_dp_v_epoch(v: Module, config, mesh: Mesh, bank, image_shape):
+def make_dp_v_epoch(v: Module, config, mesh: Mesh, bank, image_shape,
+                    flat_xs: bool = False):
     """Data-parallel scanned V epoch: reals/gen_reals batch-sharded over
     the data axis (gen_reals on dim 2 — dim 1 is the 4 generator feeds),
     branch choices replicated (one generator per global batch, matching the
-    reference's per-batch math.random), grads/acc pmean-ed inside."""
+    reference's per-batch math.random), grads/acc pmean-ed inside.
+    ``flat_xs=True`` stages reals/gen_reals FLAT (trailing H*W*C dim) —
+    see make_dp_train_epoch; batch dims are unchanged so the shardings
+    hold."""
     from catgen.train import v_trainer
 
     config, axis = _with_axis(config)
     assert axis in mesh.axis_names
-    epoch = v_trainer.make_train_epoch(v, config, bank, image_shape)
+    epoch = v_trainer.make_train_epoch(v, config, bank, image_shape,
+                                       flat_xs=flat_xs)
 
     def dp_epoch(state, reals, gen_reals, branches, sub_branches, submix,
                  rng):
@@ -191,14 +203,17 @@ def make_dp_ae_step(autoencoder: Module, config, mesh: Mesh):
     return jax.jit(sharded)
 
 
-def make_dp_ae_epoch(autoencoder: Module, config, mesh: Mesh):
+def make_dp_ae_epoch(autoencoder: Module, config, mesh: Mesh,
+                     image_shape=None):
     """Data-parallel scanned pretrain epoch: (state, batches
-    (nb, ndev*B, H, W, C), rng) -> (state, losses (nb,))."""
+    (nb, ndev*B, H, W, C), rng) -> (state, losses (nb,)).
+    ``image_shape=(H, W, C)`` switches to FLAT (nb, ndev*B, H*W*C)
+    staging — see make_dp_train_epoch."""
     from catgen.train import pretrainer
 
     config, axis = _with_axis(config)
     assert axis in mesh.axis_names
-    epoch = pretrainer.make_train_epoch(autoencoder, config)
+    epoch = pretrainer.make_train_epoch(autoencoder, config, image_shape)
 
     def dp_epoch(state, batches, rng):
         local_rng = fold_in_axis_index(rng, axis)

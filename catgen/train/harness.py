@@ -94,13 +94,14 @@ class GanHarness:
         self._maybe_pickup_pretrained_g()
         if self.mesh is not None:
             self.state = dist.replicate(self.state, self.mesh)
-            self.epoch_fn = dist.make_dp_train_epoch(self.g, self.d, self.gc,
-                                                     self.mesh)
+            self.epoch_fn = dist.make_dp_train_epoch(
+                self.g, self.d, self.gc, self.mesh,
+                image_shape=hc.image_shape)
         else:
-            # single-device epochs stage FLAT reals (tile-padding of C=3
-            # NHWC epoch tensors costs 42x HBM; gan.make_train_epoch)
             self.epoch_fn = jax.jit(gan.make_train_epoch(
                 self.g, self.d, self.gc, image_shape=hc.image_shape))
+        # both paths stage FLAT reals (tile-padding of C=3 NHWC epoch
+        # tensors costs 42x HBM per shard; gan.make_train_epoch)
         # V is inference-only inside the GAN loop (train.lua:119-123)
         self.v = None
         self.v_vars = None
@@ -234,14 +235,12 @@ class GanHarness:
         half = self.gc.batch_size // 2 * max(self.hc.n_devices, 1)
         batches = self.dataset.epoch_batches(self.hc.n_epoch, half,
                                              self.gc.d_iterations)
+        batches = batches.reshape(batches.shape[:2] + (-1,))  # flat staging
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             batches = jax.device_put(
                 batches, NamedSharding(self.mesh,
-                                       P(None, dist.DATA_AXIS, None, None,
-                                         None)))
-        else:
-            batches = batches.reshape(batches.shape[:2] + (-1,))
+                                       P(None, dist.DATA_AXIS, None)))
         return batches
 
     def run_epoch(self) -> dict:
@@ -502,7 +501,8 @@ class VHarness:
         if self.mesh is not None:
             self.state = dist.replicate(self.state, self.mesh)
             self.epoch_fn = dist.make_dp_v_epoch(self.v, self.vc, self.mesh,
-                                                 bank, hc.image_shape)
+                                                 bank, hc.image_shape,
+                                                 flat_xs=True)
         else:
             self.epoch_fn = jax.jit(v_trainer.make_train_epoch(
                 self.v, self.vc, bank, hc.image_shape, flat_xs=True))
@@ -533,13 +533,9 @@ class VHarness:
         nb = max(self.hc.n_epoch // self.vc.batch_size, 1)
         raw = self.dataset.sample_uint8(nb * 5 * half)
         staged = self.dataset.postprocess(raw)
-        if self.mesh is not None:
-            staged = staged.reshape((nb, 5, half)
-                                    + tuple(self.hc.image_shape))
-        else:
-            # flat staging (flat_xs=True epoch): C=3 NHWC epoch tensors
-            # are tile-padded 3->128 on TPU — 42x HBM at 5 batches/step
-            staged = staged.reshape((nb, 5, half, -1))
+        # flat staging (flat_xs=True epoch, both paths): C=3 NHWC epoch
+        # tensors are tile-padded 3->128 on TPU — 42x HBM at 5 batches/step
+        staged = staged.reshape((nb, 5, half, -1))
         reals, gen_reals = staged[:, 0], staged[:, 1:]
         branches = jnp.asarray(self._np.randint(0, 4, nb), jnp.int32)
         sub_branches = jnp.asarray(self._np.randint(0, 4, nb), jnp.int32)
@@ -634,7 +630,8 @@ class PretrainHarness:
             self.ae, self.pc, jax.random.PRNGKey(hc.seed), hc.image_shape)
         if self.mesh is not None:
             self.state = dist.replicate(self.state, self.mesh)
-            self.epoch_fn = dist.make_dp_ae_epoch(self.ae, self.pc, self.mesh)
+            self.epoch_fn = dist.make_dp_ae_epoch(self.ae, self.pc, self.mesh,
+                                                  image_shape=hc.image_shape)
         else:
             self.epoch_fn = jax.jit(pretrainer.make_train_epoch(
                 self.ae, self.pc, image_shape=hc.image_shape))
@@ -660,14 +657,12 @@ class PretrainHarness:
         n_batches = max(self.hc.n_epoch // self.pc.batch_size, 1)
         bsz = self.pc.batch_size * max(self.hc.n_devices, 1)
         imgs = self.dataset.load_random_images(n_batches * bsz)
+        # flat staging, both paths (see gan.make_train_epoch on tile padding)
+        batches = imgs.reshape((n_batches, bsz, -1))
         if self.mesh is not None:
-            batches = imgs.reshape((n_batches, bsz) + tuple(imgs.shape[1:]))
             from jax.sharding import NamedSharding, PartitionSpec as P
             batches = jax.device_put(batches, NamedSharding(
                 self.mesh, P(None, dist.DATA_AXIS)))
-        else:
-            # flat staging (see gan.make_train_epoch on tile padding)
-            batches = imgs.reshape((n_batches, bsz, -1))
         rng = jax.random.fold_in(jax.random.PRNGKey(self.hc.seed),
                                  int(self.state.epoch))
         self.state, losses = self.epoch_fn(self.state, batches, rng)

@@ -255,3 +255,33 @@ def test_dp_step_default_config_pmeans(rng):
         shards = [np.asarray(s.data) for s in leaf.addressable_shards]
         for s in shards[1:]:
             np.testing.assert_array_equal(shards[0], s)
+
+
+def test_dp_epoch_flat_matches_shaped(rng):
+    """DP flat staging (round 5): the sharded epoch over FLAT
+    (nb, ndev*B', H*W*C) batches is bit-identical to the shaped one —
+    each DP shard of a resident NHWC C=3 epoch tensor pays the same
+    3->128 tile padding as single-device staging (KERNELS.md §4c), so
+    the harness stages flat for the mesh path too."""
+    mesh = dist.make_mesh(8)
+    config = gan.GanConfig(batch_size=8, noise_dim=NOISE, acc_window=4,
+                           axis_name="data")
+    g, d = tiny_g("data"), tiny_d()
+    state = dist.replicate(
+        gan.init_state(g, d, config, jax.random.PRNGKey(0), IMG), mesh)
+    shaped = dist.make_dp_train_epoch(g, d, config, mesh)
+    flat = dist.make_dp_train_epoch(g, d, config, mesh, image_shape=IMG)
+    batches = rng.rand(3, 8 * 4, *IMG).astype(np.float32)
+    s_shaped, m_shaped = shaped(state, jnp.asarray(batches),
+                                jax.random.PRNGKey(1))
+    s_flat, m_flat = flat(state,
+                          jnp.asarray(batches.reshape(3, 8 * 4, -1)),
+                          jax.random.PRNGKey(1))
+    for a, b in zip(jax.tree_util.tree_leaves(s_shaped.g_params),
+                    jax.tree_util.tree_leaves(s_flat.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(s_shaped.d_params),
+                    jax.tree_util.tree_leaves(s_flat.d_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(m_shaped.loss_g),
+                                  np.asarray(m_flat.loss_g))
