@@ -45,6 +45,12 @@ def parse_args(argv=None):
     p.add_argument("--D_maxAcc", type=float, default=1.01)
     p.add_argument("--D_clamp", type=float, default=1.0)
     p.add_argument("--G_clamp", type=float, default=5.0)
+    p.add_argument("--no-G_bn_advance", dest="no_G_bn_advance",
+                   action="store_true",
+                   help="freeze G's BN running stats during the D phase "
+                        "(the reference's Torch semantics advance them, "
+                        "adversarial.lua:233 — this is an A/B knob for "
+                        "the collapse audit, QUALITY.md round 5)")
     p.add_argument("--G_freeze", default="",
                    help="comma list of top-level G children to freeze "
                         "(grads zeroed, params+BN state pinned) — stage-"
@@ -101,6 +107,7 @@ def main(argv=None):
         d_iterations=args.D_iterations, g_iterations=args.G_iterations,
         d_max_acc=args.D_maxAcc, augment=args.augment,
         normalized_inputs=args.normalize,
+        g_bn_advance_in_d=not args.no_G_bn_advance,
         g_frozen_children=tuple(
             s for s in args.G_freeze.split(",") if s),
         compute_dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32)

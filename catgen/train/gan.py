@@ -83,6 +83,15 @@ class GanConfig:
     normalized_inputs: bool = False       # reals arrive [-1,1] (--normalize):
                                           # augment_batch assumes [0,1], so
                                           # the step denormalizes around it
+    g_bn_advance_in_d: bool = True        # Torch semantics: G stays in
+                                          # training mode through the D
+                                          # phase's createImages
+                                          # (adversarial.lua:233), so its BN
+                                          # running stats advance on that
+                                          # forward too. False freezes
+                                          # g_state during the D phase —
+                                          # an A/B knob for the corpus-scale
+                                          # collapse audit (QUALITY.md r5).
     g_frozen_children: Tuple[str, ...] = ()
                                           # top-level G children excluded
                                           # from training: grads zeroed,
@@ -326,7 +335,8 @@ def make_train_step(g: Module, d: Module, config: GanConfig):
         # training-mode G forward updates the running estimates.
         g_vars = {"params": state.g_params, "state": state.g_state}
         fakes, g_state = g_apply(g_vars, noise, True, rng_g)
-        g_state = _pin_frozen(g_state, state.g_state)
+        g_state = (_pin_frozen(g_state, state.g_state)
+                   if config.g_bn_advance_in_d else state.g_state)
         fakes = lax.stop_gradient(fakes)
         inputs = jnp.concatenate([reals.astype(cdt), fakes], axis=0)
         targets = jnp.concatenate([jnp.ones((half,)), jnp.zeros((half,))])

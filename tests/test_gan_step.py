@@ -326,3 +326,37 @@ def test_g_freeze_unknown_child_raises(rng):
     import pytest
     with pytest.raises(KeyError, match="99_Nope"):
         step(state, _reals(rng, 8), jax.random.PRNGKey(0))
+
+
+def test_g_bn_advance_in_d_knob(rng):
+    """A/B knob for the corpus-scale collapse audit (QUALITY.md round 5):
+    with g_bn_advance_in_d=False the D phase must leave G's BN running
+    stats untouched (default True matches Torch semantics — G stays in
+    training mode through createImages, adversarial.lua:233, so its
+    running estimates advance there too). Needs a BN-bearing G (tiny_g
+    carries no state)."""
+    g = nn.Sequential([
+        nn.Dense(32), nn.BatchNorm(), nn.PReLU(),
+        nn.Dense(IMG[0] * IMG[1] * IMG[2]), nn.Sigmoid(), nn.Reshape(IMG),
+    ], name="tinyGbn")
+    d = tiny_d()
+    cfg_off = gan.GanConfig(batch_size=16, noise_dim=NOISE, acc_window=4,
+                            g_bn_advance_in_d=False)
+    state = gan.init_state(g, d, cfg_off, jax.random.PRNGKey(0), IMG)
+    step_off = gan.make_train_step(g, d, cfg_off)
+    reals = _reals(rng, 8)
+    # D phase only: g_state must be bit-identical to the input state
+    s_after, _ = jax.jit(step_off.d_phase)(state, reals,
+                                           jax.random.PRNGKey(1), 0)
+    for a, b in zip(jax.tree_util.tree_leaves(state.g_state),
+                    jax.tree_util.tree_leaves(s_after.g_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # default semantics: the same D phase DOES advance the BN stats
+    cfg_on = gan.GanConfig(batch_size=16, noise_dim=NOISE, acc_window=4)
+    step_on = gan.make_train_step(g, d, cfg_on)
+    s_adv, _ = jax.jit(step_on.d_phase)(state, reals,
+                                        jax.random.PRNGKey(1), 0)
+    diffs = [float(jnp.abs(a - b).max()) for a, b in
+             zip(jax.tree_util.tree_leaves(state.g_state),
+                 jax.tree_util.tree_leaves(s_adv.g_state))]
+    assert max(diffs) > 0

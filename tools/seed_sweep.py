@@ -95,6 +95,8 @@ def run_config(out_root, cfg, shared_vdir, v_ckpt, args):
     result = {"name": name, **cfg,
               "corpus": (args.dataset if getattr(args, "dataset", None)
                          else f"fixture:{args.fixture}")}
+    if getattr(args, "train_extra", ""):
+        result["train_extra"] = args.train_extra
 
     # same corpus for every run: reuse the shared dir's fixture images
     # (--dataset mode points every stage at the same external dirs)
@@ -121,6 +123,7 @@ def run_config(out_root, cfg, shared_vdir, v_ckpt, args):
                   "--platform", args.platform]
     if args.augment:
         train_args.append("--augment")
+    train_args += (args.train_extra or "").split()
     rc = run_cmd(module_cmd("catgen.cli.train", *train_args), log)
     result["train_sec"] = round(time.time() - t0, 1)
     # one-command run report beside every outcome (tools/report.py)
@@ -206,6 +209,12 @@ def main(argv=None):
                    choices=["auto", "cpu", "tpu"],
                    help="forwarded to every stage (cpu = smoke-test the "
                         "sweep machinery without a TPU)")
+    p.add_argument("--train-extra", default="",
+                   help="extra flags appended (whitespace-split) to every "
+                        "train stage — A/B audit arms, e.g. "
+                        "--train-extra='--no-G_bn_advance'; kernel-impl "
+                        "arms set CATGEN_* env vars on the sweep process "
+                        "instead")
     p.add_argument("--rescue", type=int, default=0,
                    help="after the sweep, give each collapsed config up "
                         "to N restart attempts from its last healthy "
