@@ -12,7 +12,10 @@ from catgen.data.loader import ImageDataset
 def add_dataset_args(p: argparse.ArgumentParser):
     p.add_argument("--dataset", nargs="*", default=None,
                    help="directories of 64x64 JPEGs "
-                        "(dataset/out_aug_64x64 equivalent)")
+                        "(dataset/out_aug_64x64 equivalent; subsumes the "
+                        "reference's --aws switch, which only flipped "
+                        "between two hardcoded corpus paths, "
+                        "train.lua:90-94)")
     p.add_argument("--fixture", type=int, default=0,
                    help="if >0 and no --dataset, generate N synthetic cat "
                         "faces into <save>/fixture and train on those")
