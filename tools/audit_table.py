@@ -70,6 +70,10 @@ def main():
          "runs/audit5/nobnadv/sweep_results.json"),
         ("+ bf16 compute", "results",
          "runs/audit5/bf16/sweep_results.json"),
+        # the reference's own documented stabilizer, README.md:122
+        # ("You might have to add --D_iterations=2 to get good results")
+        ("+ D_iterations=2", "results",
+         "runs/audit5/d_iter2/sweep_results.json"),
     ]
     if len(sys.argv) > 1:
         arms = [(os.path.basename(d), "results",
