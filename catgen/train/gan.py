@@ -34,6 +34,7 @@ NN_UTILS.createImages, adversarial.lua:233 / nn_utils.lua:45-77).
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Any, NamedTuple, Optional, Tuple
 
@@ -153,12 +154,46 @@ class StepMetrics(NamedTuple):
     fn: jax.Array
 
 
-def bce(pred: jax.Array, target: jax.Array, eps: float = 1e-7) -> jax.Array:
-    """nn.BCECriterion (train.lua:181): mean binary cross-entropy over the
-    batch, with clamping for stability."""
+def bce_torch(pred: jax.Array, target: jax.Array,
+              eps: float = 1e-12) -> jax.Array:
+    """nn.BCECriterion exactly as Torch7 computes it (train.lua:181;
+    torch/nn BCECriterion.lua): ``-(t*log(p+eps) + (1-t)*log(1-p+eps))``
+    with eps=1e-12 added INSIDE the log — never clipped. Autodiff of this
+    expression reproduces Torch's gradInput ``-(t-p)/((1-p+eps)*(p+eps))``,
+    which stays nonzero arbitrarily deep into sigmoid saturation: at
+    p -> 0 with t=1 the (huge) dL/dp cancels against the (tiny) sigmoid
+    jacobian p*(1-p) to the healthy dL/dlogit ~ (p - t). The network only
+    truly deadlocks if the sigmoid underflows to an exact f32 zero
+    (logit < ~-104), which bounded adam steps essentially never reach."""
+    p = pred.astype(jnp.float32)
+    t = target.astype(jnp.float32)
+    return -jnp.mean(t * jnp.log(p + eps) + (1.0 - t) * jnp.log1p(eps - p))
+
+
+def bce_clip(pred: jax.Array, target: jax.Array,
+             eps: float = 1e-7) -> jax.Array:
+    """BCE with the prediction *clipped* to [eps, 1-eps].
+
+    Rounds 1-4 used this as "nn.BCECriterion with clamping for stability" —
+    but ``jnp.clip`` has ZERO gradient outside the window, so once a
+    sigmoid output saturates past |logit| > log(1/eps)-ish (~16.1), every
+    upstream parameter receives an exactly-zero adversarial gradient and
+    the network is permanently dead: no recovery force exists, unlike the
+    reference (see ``bce_torch``). This is the corpus-scale "mode B" death
+    signature — loss_d/loss_g frozen at exactly -log(1e-7)/2 = 8.059 and
+    16.118 for hundreds of epochs (QUALITY.md round 5). Kept selectable
+    (CATGEN_BCE=clip) as the A/B baseline of that audit."""
     p = jnp.clip(pred.astype(jnp.float32), eps, 1.0 - eps)
     t = target.astype(jnp.float32)
     return -jnp.mean(t * jnp.log(p) + (1.0 - t) * jnp.log1p(-p))
+
+
+_BCE_IMPLS = {"torch": bce_torch, "clip": bce_clip}
+_bce_choice = os.environ.get("CATGEN_BCE", "clip")
+if _bce_choice not in _BCE_IMPLS:
+    raise ValueError(f"CATGEN_BCE={_bce_choice!r}: pick one of "
+                     f"{sorted(_BCE_IMPLS)}")
+bce = _BCE_IMPLS[_bce_choice]
 
 
 def uniform_noise(rng: jax.Array, n: int, noise_dim: int,

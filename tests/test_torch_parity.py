@@ -136,3 +136,62 @@ def test_sgd_momentum_matches_torch(rng):
         params = optim.apply_updates(params, updates)
     np.testing.assert_allclose(np.asarray(params["w"]),
                                tw.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_bce_impls_agree_with_torch_interior(rng):
+    """Both BCE impls equal torch.nn.BCELoss away from saturation; they
+    only diverge in the tails (see the saturation tests below)."""
+    from catgen.train.gan import bce_clip, bce_torch
+    p = rng.rand(16).astype(np.float32) * 0.96 + 0.02
+    t = (rng.rand(16) > 0.5).astype(np.float32)
+    want = torch.nn.BCELoss()(torch.from_numpy(p),
+                              torch.from_numpy(t)).item()
+    assert float(bce_clip(jnp.asarray(p), jnp.asarray(t))) == \
+        pytest.approx(want, rel=1e-5)
+    assert float(bce_torch(jnp.asarray(p), jnp.asarray(t))) == \
+        pytest.approx(want, rel=1e-5)
+
+
+def test_bce_torch_gradient_alive_in_saturation():
+    """The corpus-scale mode-B death (QUALITY.md round 5): past
+    |logit| ~ 16.1, bce_clip's jnp.clip gives an EXACTLY-zero gradient to
+    every upstream parameter, while Torch7's BCECriterion formulation
+    (log(p+1e-12), never clipped) keeps dL/dlogit ~ (p - t) — the healthy
+    recovery force the reference relies on."""
+    from catgen.train.gan import bce_clip, bce_torch
+
+    def loss_of_logit(fn, logit):
+        return fn(jax.nn.sigmoid(jnp.asarray([logit], jnp.float32)),
+                  jnp.ones((1,), jnp.float32))
+
+    for logit in (-18.0, -25.0):
+        g_clip = float(jax.grad(lambda l: loss_of_logit(bce_clip, l))(logit))
+        g_torch = float(jax.grad(lambda l: loss_of_logit(bce_torch, l))(logit))
+        assert g_clip == 0.0, f"clip grad unexpectedly alive at {logit}"
+        # d/dlogit = p - t -> -1 while p >> 1e-12 (p=1.5e-8 at -18)
+        assert g_torch == pytest.approx(-1.0, abs=0.4), (logit, g_torch)
+    # even far below the eps knee it decays but never hits exact zero
+    g_deep = float(jax.grad(lambda l: loss_of_logit(bce_torch, l))(-40.0))
+    assert g_deep != 0.0
+
+
+def test_saturated_sigmoid_recovers_only_with_torch_bce():
+    """A saturated 'discriminator' (scalar logit at -18, target 1) under
+    adam: bce_torch pulls it back through the dead zone; bce_clip's zero
+    gradient leaves it pinned forever — the permanent-collapse mechanism."""
+    from catgen.train.gan import bce_clip, bce_torch
+
+    def run(fn, steps=400, lr=0.05):
+        w = jnp.float32(-18.0)
+        opt = optim.adam(lr=lr)
+        state = opt.init({"w": w})
+        grad_fn = jax.grad(
+            lambda p: fn(jax.nn.sigmoid(p["w"][None]),
+                         jnp.ones((1,), jnp.float32)))
+        for _ in range(steps):
+            updates, state = opt.update(grad_fn({"w": w}), state, {"w": w})
+            w = optim.apply_updates({"w": w}, updates)["w"]
+        return float(w)
+
+    assert run(bce_clip) == -18.0          # exactly pinned
+    assert run(bce_torch) > -2.0           # climbed out of saturation

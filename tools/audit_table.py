@@ -74,6 +74,13 @@ def main():
         # ("You might have to add --D_iterations=2 to get good results")
         ("+ D_iterations=2", "results",
          "runs/audit5/d_iter2/sweep_results.json"),
+        # Torch7's exact unclipped BCE (CATGEN_BCE=torch): the clip impl's
+        # zero-gradient dead zone past |logit|>16.1 is the mode-B killer
+        # (gan.py bce_torch/bce_clip docstrings, QUALITY.md round 5)
+        ("+ BCE=torch (unclipped)", "results",
+         "runs/audit5/bcefix/sweep_results.json"),
+        ("+ BCE=torch + D_iter=2", "results",
+         "runs/audit5/bcefix_di2/sweep_results.json"),
     ]
     if len(sys.argv) > 1:
         arms = [(os.path.basename(d), "results",
