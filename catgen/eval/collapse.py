@@ -53,6 +53,7 @@ from __future__ import annotations
 import dataclasses
 import gzip
 import json
+import math
 from typing import Any, Dict, List, Optional
 
 import numpy as np
@@ -103,7 +104,8 @@ class CollapseDetector:
     def __init__(self, config: Optional[CollapseConfig] = None):
         self.cfg = config or CollapseConfig()
         self._runs = {"d_runaway": 0, "probe_pinned": 0,
-                      "saturated": 0, "flat": 0, "far_from_data": 0}
+                      "saturated": 0, "flat": 0, "far_from_data": 0,
+                      "nan": 0}
         self.verdict: Optional[str] = None
         self.fired_epoch: Optional[int] = None
         self.history: List[Dict[str, Any]] = []
@@ -117,6 +119,12 @@ class CollapseDetector:
 
     def observe_epoch(self, epoch: int, acc_d: float, loss_g: float):
         self._last_acc_d = acc_d
+        # Non-finite loss is unambiguous death at ANY epoch (NaN poisons
+        # both optimizers' moments; nothing recovers). Fire immediately:
+        # every NaN comparison below is False, so without this rule a NaN
+        # run streams forever — runs/audit5/bcefix s1 burned 360+ epochs
+        # undetected before this rule existed.
+        self._hit("nan", not math.isfinite(loss_g), 1, epoch)
         if epoch < self.cfg.min_epoch:
             return
         hit = acc_d >= self.cfg.acc_hi and loss_g >= self.cfg.loss_g_hi

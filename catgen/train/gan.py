@@ -164,10 +164,17 @@ def bce_torch(pred: jax.Array, target: jax.Array,
     p -> 0 with t=1 the (huge) dL/dp cancels against the (tiny) sigmoid
     jacobian p*(1-p) to the healthy dL/dlogit ~ (p - t). The network only
     truly deadlocks if the sigmoid underflows to an exact f32 zero
-    (logit < ~-104), which bounded adam steps essentially never reach."""
+    (logit < ~-104), which bounded adam steps essentially never reach.
+
+    Operation order matters in f32: the fake-side log MUST be
+    ``log((1 - p) + eps)`` exactly as Torch writes it. The "tidier"
+    ``log1p(eps - p)`` computes ``eps - p`` first, which rounds to exactly
+    -1.0 once the sigmoid saturates to 1.0f (any logit > ~17), giving
+    log(0) = -inf and then ``(1-t) * -inf`` = 0 * inf = NaN for real
+    targets — it NaN'd a corpus run at epoch 2 (runs/audit5/bcefix s1)."""
     p = pred.astype(jnp.float32)
     t = target.astype(jnp.float32)
-    return -jnp.mean(t * jnp.log(p + eps) + (1.0 - t) * jnp.log1p(eps - p))
+    return -jnp.mean(t * jnp.log(p + eps) + (1.0 - t) * jnp.log(1.0 - p + eps))
 
 
 def bce_clip(pred: jax.Array, target: jax.Array,

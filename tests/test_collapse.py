@@ -339,3 +339,14 @@ def test_trajectory_longrun64_nofreeze_fires():
     assert rep["collapsed"]
     assert rep["reason"] == "far_from_data"
     assert rep["fired_epoch"] == 220
+
+
+def test_trajectory_bcefix_s1_nan_fires_immediately():
+    """The log1p(eps-p) BCE NaN'd at epoch 2 (runs/audit5/bcefix s1) and
+    streamed 360+ NaN epochs with NO rule firing — every NaN comparison is
+    False. The nan rule must fire on the first non-finite loss, before
+    min_epoch."""
+    rep = collapse.scan_metrics(
+        os.path.join(TRAJ, "bcefix_s1_nan_ep2.jsonl.gz"))
+    assert rep["collapsed"] and rep["reason"] == "nan"
+    assert rep["fired_epoch"] == 2

@@ -195,3 +195,26 @@ def test_saturated_sigmoid_recovers_only_with_torch_bce():
 
     assert run(bce_clip) == -18.0          # exactly pinned
     assert run(bce_torch) > -2.0           # climbed out of saturation
+
+
+def test_bce_torch_finite_at_exact_saturation():
+    """f32 regression for the epoch-2 NaN (runs/audit5/bcefix s1): once a
+    sigmoid saturates to EXACTLY 0.0f or 1.0f (|logit| > ~17 on the high
+    side), the loss and the logit-gradient must stay finite for BOTH
+    targets. The log1p(eps - p) formulation failed this: eps - p rounds
+    to -1.0 in f32 and 0 * log(0) = NaN."""
+    from catgen.train.gan import bce_torch
+    for p in (0.0, 1.0):
+        for t in (0.0, 1.0):
+            v = float(bce_torch(jnp.asarray([p], jnp.float32),
+                                jnp.asarray([t], jnp.float32)))
+            assert np.isfinite(v), (p, t, v)
+
+    def loss_of_logit(logit, t):
+        return bce_torch(jax.nn.sigmoid(jnp.asarray([logit], jnp.float32)),
+                         jnp.asarray([t], jnp.float32))
+
+    for logit in (25.0, 120.0, -120.0):   # sigmoid == exactly 1.0f / 0.0f
+        for t in (0.0, 1.0):
+            g = float(jax.grad(loss_of_logit)(logit, t))
+            assert np.isfinite(g), (logit, t, g)

@@ -76,9 +76,12 @@ def main():
          "runs/audit5/d_iter2/sweep_results.json"),
         # Torch7's exact unclipped BCE (CATGEN_BCE=torch): the clip impl's
         # zero-gradient dead zone past |logit|>16.1 is the mode-B killer
-        # (gan.py bce_torch/bce_clip docstrings, QUALITY.md round 5)
+        # (gan.py bce_torch/bce_clip docstrings, QUALITY.md round 5).
+        # bcefix (v1) NaN'd at epoch 2 from the log1p(eps-p) f32 rounding
+        # bug — kept in runs/ as the record; bcefix2 is the corrected
+        # Torch operation order.
         ("+ BCE=torch (unclipped)", "results",
-         "runs/audit5/bcefix/sweep_results.json"),
+         "runs/audit5/bcefix2/sweep_results.json"),
         ("+ BCE=torch + D_iter=2", "results",
          "runs/audit5/bcefix_di2/sweep_results.json"),
     ]
