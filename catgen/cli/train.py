@@ -59,6 +59,12 @@ def parse_args(argv=None):
                         "tools/stack64_warmstart.py")
     p.add_argument("--dtype", default="f32", choices=["f32", "bf16"],
                    help="activation compute dtype (bf16 = TPU fast path)")
+    p.add_argument("--bce", default=None,
+                   choices=["logits", "torch", "clip"],
+                   help="GAN criterion formulation (default: CATGEN_BCE "
+                        "env or 'logits' — exact-gradient logit-space "
+                        "BCE; 'torch'/'clip' are the prob-space A/B "
+                        "alternates, QUALITY.md round 5)")
     p.add_argument("--weightsVisFreq", type=int, default=0,
                    help="write per-layer D activation grids every N epochs")
     p.add_argument("--visFreq", type=int, default=1,
@@ -110,6 +116,7 @@ def main(argv=None):
         g_bn_advance_in_d=not args.no_G_bn_advance,
         g_frozen_children=tuple(
             s for s in args.G_freeze.split(",") if s),
+        bce=args.bce,
         compute_dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32)
     dataset = build_dataset(args)
     harness = GanHarness(hc, gc, dataset)

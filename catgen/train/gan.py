@@ -105,6 +105,10 @@ class GanConfig:
                                           # gradients otherwise destroy the
                                           # trained base within ~20 epochs
                                           # (runs/longrun64b attempt 1).
+    bce: Optional[str] = None             # "logits" | "torch" | "clip";
+                                          # None -> the CATGEN_BCE env
+                                          # default. See bce_logits /
+                                          # bce_torch / bce_clip.
 
     def make_optimizers(self) -> Tuple[optim.Optimizer, optim.Optimizer]:
         return (self._make(self.d_optimizer, self.d_lr, self.d_sgd_lr,
@@ -166,15 +170,45 @@ def bce_torch(pred: jax.Array, target: jax.Array,
     truly deadlocks if the sigmoid underflows to an exact f32 zero
     (logit < ~-104), which bounded adam steps essentially never reach.
 
-    Operation order matters in f32: the fake-side log MUST be
-    ``log((1 - p) + eps)`` exactly as Torch writes it. The "tidier"
-    ``log1p(eps - p)`` computes ``eps - p`` first, which rounds to exactly
-    -1.0 once the sigmoid saturates to 1.0f (any logit > ~17), giving
-    log(0) = -inf and then ``(1-t) * -inf`` = 0 * inf = NaN for real
-    targets — it NaN'd a corpus run at epoch 2 (runs/audit5/bcefix s1)."""
+    XLA-proofing (two corpus runs NaN'd at epoch 2 learning this,
+    runs/audit5/bcefix{,2} s1): the fake-side term may NOT be written as
+    an associative chain containing both the 1 and the eps —
+    ``log1p(eps - p)`` computes ``eps - p`` which rounds to exactly -1.0
+    at p == 1.0f, and Torch's literal ``log(1 - p + eps)`` survives eager
+    but under jit XLA's algebraic simplifier reassociates it to
+    ``(1 + eps) - p`` and constant-folds ``1 + eps -> 1.0f`` — the eps
+    vanishes and the term is log(0) = -inf, so real targets hit
+    ``0 * -inf = NaN``. ``maximum`` floors are fold-proof: XLA cannot
+    merge the constant through a max. Values/gradients match Torch's to
+    ~1.7e-5 relative everywhere representable (for p > eps,
+    log(max(p, eps)) = log(p) vs Torch's log(p + eps)); they differ only
+    at EXACT 0.0f/1.0f, where the max floor zeroes dL/dp while Torch
+    keeps +-1/eps — indistinguishable through the sigmoid, whose jacobian
+    p*(1-p) is exactly zero there too."""
     p = pred.astype(jnp.float32)
     t = target.astype(jnp.float32)
-    return -jnp.mean(t * jnp.log(p + eps) + (1.0 - t) * jnp.log(1.0 - p + eps))
+    pos = jnp.log(jnp.maximum(p, eps))
+    neg = jnp.log(jnp.maximum(1.0 - p, eps))
+    return -jnp.mean(t * pos + (1.0 - t) * neg)
+
+
+def bce_logits(logits: jax.Array, target: jax.Array) -> jax.Array:
+    """BCE computed in logit space: ``mean(softplus(l) - t*l)`` — exactly
+    ``bce(sigmoid(l), t)`` mathematically, but with none of probability
+    space's f32 pathologies. The gradient is exactly ``sigmoid(l) - t``
+    at ANY saturation depth: where prob-space forms lose the recovery
+    force once the sigmoid output rounds to 0.0f/1.0f (|logit| ~ 17; the
+    mode-A/B permanent-collapse mechanism, QUALITY.md round 5), this one
+    keeps pulling a saturated network back forever, and it cannot produce
+    inf/NaN (softplus is the stable max(l,0)+log1p(exp(-|l|))). This is
+    the TPU-native formulation of train.lua:181's criterion: selected by
+    CATGEN_BCE=logits, the train step peels D's final paramless Sigmoid
+    and feeds logits here (identical param/state trees, identical
+    checkpoints); sigmoid(l) is still computed for confusion/gate
+    metrics."""
+    l = logits.astype(jnp.float32)
+    t = target.astype(jnp.float32)
+    return jnp.mean(jax.nn.softplus(l) - t * l)
 
 
 def bce_clip(pred: jax.Array, target: jax.Array,
@@ -195,12 +229,16 @@ def bce_clip(pred: jax.Array, target: jax.Array,
     return -jnp.mean(t * jnp.log(p) + (1.0 - t) * jnp.log1p(-p))
 
 
-_BCE_IMPLS = {"torch": bce_torch, "clip": bce_clip}
-_bce_choice = os.environ.get("CATGEN_BCE", "clip")
+_BCE_IMPLS = {"torch": bce_torch, "clip": bce_clip, "logits": bce_torch}
+_bce_choice = os.environ.get("CATGEN_BCE", "logits")
 if _bce_choice not in _BCE_IMPLS:
     raise ValueError(f"CATGEN_BCE={_bce_choice!r}: pick one of "
                      f"{sorted(_BCE_IMPLS)}")
+# prob-space binding (used by any caller holding probabilities; under
+# "logits" the train step goes through bce_logits instead and this
+# binding only covers prob-space stragglers)
 bce = _BCE_IMPLS[_bce_choice]
+use_logit_loss = _bce_choice == "logits"
 
 
 def uniform_noise(rng: jax.Array, n: int, noise_dim: int,
@@ -295,6 +333,12 @@ def make_train_step(g: Module, d: Module, config: GanConfig):
     half = config.batch_size // 2
     cdt = config.compute_dtype
     use_flat = kconfig.resolve_flat_opt() == "flat"
+    bce_choice = config.bce or _bce_choice
+    if bce_choice not in _BCE_IMPLS:
+        raise ValueError(f"GanConfig.bce={bce_choice!r}: pick one of "
+                         f"{sorted(_BCE_IMPLS)}")
+    prob_bce = _BCE_IMPLS[bce_choice]
+    use_logits = bce_choice == "logits"
 
     def _update(opt, grads, opt_state, params, l1, l2, clamp):
         """grad pipeline + optimizer + apply; flat (one raveled vector,
@@ -316,6 +360,42 @@ def make_train_step(g: Module, d: Module, config: GanConfig):
 
     g_apply = _apply(g)
     d_apply = _apply(d)
+
+    # CATGEN_BCE=logits: peel D's final paramless Sigmoid and train in
+    # logit space (see bce_logits). Child names are index-based, so the
+    # truncated Sequential reads the SAME param/state subtrees; the
+    # Sigmoid's (empty) state entry is re-added to keep the carried
+    # d_state structure identical to init_state's.
+    if use_logits:
+        from catgen.core.module import Sequential as _Seq
+        from catgen.nn.layers import Sigmoid as _Sigmoid
+        if not (isinstance(d, _Seq) and d.layers
+                and isinstance(d.layers[-1], _Sigmoid)):
+            raise ValueError(
+                "CATGEN_BCE=logits needs D to be a Sequential ending in "
+                f"Sigmoid (models.lua D variants all do); got {d.name} "
+                f"ending in "
+                f"{d.layers[-1].name if getattr(d, 'layers', None) else d}")
+        _sig_name = d._child_name(len(d.layers) - 1)
+        _d_trunc = _Seq(d.layers[:-1], name=d.name)
+
+        def _logits_fn(variables, x, train, rng):
+            out, st = _d_trunc.apply(variables, x, train=train, rng=rng)
+            st = dict(st)
+            st[_sig_name] = {}
+            return out, st
+
+        d_apply_logits = (jax.checkpoint(_logits_fn, static_argnums=(2,))
+                          if config.remat else _logits_fn)
+
+        def d_loss_and_prob(variables, x, train, rng, targets):
+            logits, d_state = d_apply_logits(variables, x, train, rng)
+            loss = bce_logits(logits[:, 0], targets)
+            return loss, jax.nn.sigmoid(logits[:, 0]), d_state
+    else:
+        def d_loss_and_prob(variables, x, train, rng, targets):
+            out, d_state = d_apply(variables, x, train, rng)
+            return prob_bce(out[:, 0], targets), out[:, 0], d_state
 
     frozen = tuple(config.g_frozen_children)
 
@@ -384,10 +464,10 @@ def make_train_step(g: Module, d: Module, config: GanConfig):
         targets = jnp.concatenate([jnp.ones((half,)), jnp.zeros((half,))])
 
         def loss_fn(d_params):
-            out, d_state = d_apply(
+            loss, prob, d_state = d_loss_and_prob(
                 {"params": d_params, "state": state.d_state}, inputs,
-                True, rng_d)
-            return bce(out[:, 0], targets), (out[:, 0], d_state)
+                True, rng_d, targets)
+            return loss, (prob, d_state)
 
         (loss, (out, d_state)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.d_params)
@@ -438,9 +518,10 @@ def make_train_step(g: Module, d: Module, config: GanConfig):
             fakes, g_state = g_apply(
                 {"params": g_params, "state": state.g_state},
                 noise, True, rng_g)
-            out, _ = d_apply({"params": state.d_params,
-                              "state": state.d_state}, fakes, True, rng_d)
-            return bce(out[:, 0], targets), g_state
+            loss, _, _ = d_loss_and_prob(
+                {"params": state.d_params, "state": state.d_state},
+                fakes, True, rng_d, targets)
+            return loss, g_state
 
         (loss, g_state), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.g_params)

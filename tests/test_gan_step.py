@@ -360,3 +360,54 @@ def test_g_bn_advance_in_d_knob(rng):
              zip(jax.tree_util.tree_leaves(state.g_state),
                  jax.tree_util.tree_leaves(s_adv.g_state))]
     assert max(diffs) > 0
+
+
+@pytest.mark.parametrize("bce_impl", ["logits", "torch", "clip"])
+def test_step_finite_at_d_saturation(rng, bce_impl):
+    """Regression for the corpus NaNs (QUALITY.md round 5): with D's
+    output sigmoid saturated to exactly 0.0f/1.0f, the JITTED step must
+    stay finite for every BCE impl. The first two bce_torch formulations
+    passed eager unit tests and NaN'd only under jit (XLA folded the eps
+    away), poisoning every parameter within one step."""
+    cfg = gan.GanConfig(batch_size=16, noise_dim=NOISE, acc_window=4,
+                        bce=bce_impl)
+    g, d, config, state, step = _setup(cfg)
+    reals = _reals(rng, config.batch_size // 2)
+    keys = [k for k in state.d_params if "Dense" in k]
+    for bias in (25.0, -25.0, 90.0, -90.0):
+        dp = dict(state.d_params)
+        dp[keys[-1]] = dict(dp[keys[-1]],
+                            bias=jnp.full_like(dp[keys[-1]]["bias"], bias))
+        st = state._replace(d_params=dp)
+        for it in range(2):
+            st, m = step(st, reals, jax.random.PRNGKey(it + 1))
+        assert np.isfinite(float(m.loss_d)), (bce_impl, bias)
+        assert np.isfinite(float(m.loss_g)), (bce_impl, bias)
+        for leaf in (jax.tree_util.tree_leaves(st.d_params)
+                     + jax.tree_util.tree_leaves(st.g_params)):
+            assert np.isfinite(np.asarray(leaf)).all(), (bce_impl, bias)
+
+
+def test_logits_step_matches_prob_space_in_healthy_regime(rng):
+    """CATGEN_BCE=logits peels D's final Sigmoid and trains in logit
+    space — away from saturation this must be the SAME training step as
+    the prob-space Torch formulation (identical losses/params to f32
+    noise)."""
+    reals = _reals(rng, 8)
+    results = {}
+    for impl in ("logits", "torch"):
+        cfg = gan.GanConfig(batch_size=16, noise_dim=NOISE, acc_window=4,
+                            bce=impl)
+        g, d, config, state, step = _setup(cfg)
+        st = state
+        for it in range(3):
+            st, m = step(st, reals, jax.random.PRNGKey(it + 1))
+        results[impl] = (float(m.loss_d), float(m.loss_g),
+                         jax.tree_util.tree_leaves(st.d_params))
+    np.testing.assert_allclose(results["logits"][0], results["torch"][0],
+                               rtol=2e-4)
+    np.testing.assert_allclose(results["logits"][1], results["torch"][1],
+                               rtol=2e-4)
+    for a, b in zip(results["logits"][2], results["torch"][2]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=2e-5)

@@ -165,14 +165,30 @@ def test_bce_torch_gradient_alive_in_saturation():
                   jnp.ones((1,), jnp.float32))
 
     for logit in (-18.0, -25.0):
-        g_clip = float(jax.grad(lambda l: loss_of_logit(bce_clip, l))(logit))
-        g_torch = float(jax.grad(lambda l: loss_of_logit(bce_torch, l))(logit))
-        assert g_clip == 0.0, f"clip grad unexpectedly alive at {logit}"
-        # d/dlogit = p - t -> -1 while p >> 1e-12 (p=1.5e-8 at -18)
-        assert g_torch == pytest.approx(-1.0, abs=0.4), (logit, g_torch)
-    # even far below the eps knee it decays but never hits exact zero
-    g_deep = float(jax.grad(lambda l: loss_of_logit(bce_torch, l))(-40.0))
-    assert g_deep != 0.0
+        # under jit too: the first bce_torch formulations were only safe
+        # eagerly (XLA reassociated/folded the eps away; QUALITY.md r5)
+        for jit in (False, True):
+            gfun_c = jax.grad(lambda l: loss_of_logit(bce_clip, l))
+            gfun_t = jax.grad(lambda l: loss_of_logit(bce_torch, l))
+            if jit:
+                gfun_c, gfun_t = jax.jit(gfun_c), jax.jit(gfun_t)
+            g_clip, g_torch = float(gfun_c(logit)), float(gfun_t(logit))
+            assert g_clip == 0.0, f"clip grad unexpectedly alive at {logit}"
+            # d/dlogit = p - t -> -1 while p > eps (p=1.5e-8 at -18)
+            assert g_torch == pytest.approx(-1.0, abs=0.4), (logit, g_torch)
+    # past the eps floor (p < 1e-12, logit < ~-27.6) the maximum-floor
+    # form goes exactly 0 — where the sigmoid jacobian is ~1e-18 anyway;
+    # bce_logits is the impl that stays alive at ANY depth
+    from catgen.train.gan import bce_logits
+    for jit in (False, True):
+        gfun = jax.grad(lambda l: bce_logits(jnp.asarray([l], jnp.float32),
+                                             jnp.ones((1,), jnp.float32)))
+        if jit:
+            gfun = jax.jit(gfun)
+        for logit in (-40.0, -120.0, 120.0):
+            g = float(gfun(logit))
+            expect = (jax.nn.sigmoid(logit) - 1.0)
+            assert g == pytest.approx(float(expect), abs=1e-6), (logit, g)
 
 
 def test_saturated_sigmoid_recovers_only_with_torch_bce():
@@ -214,7 +230,15 @@ def test_bce_torch_finite_at_exact_saturation():
         return bce_torch(jax.nn.sigmoid(jnp.asarray([logit], jnp.float32)),
                          jnp.asarray([t], jnp.float32))
 
-    for logit in (25.0, 120.0, -120.0):   # sigmoid == exactly 1.0f / 0.0f
-        for t in (0.0, 1.0):
-            g = float(jax.grad(loss_of_logit)(logit, t))
-            assert np.isfinite(g), (logit, t, g)
+    for jit in (False, True):   # the -inf/NaN only appeared UNDER JIT:
+        # XLA reassociates 1 - p + eps to (1 + eps) - p and folds the eps
+        # away — eager-only tests missed it (QUALITY.md round 5)
+        val = jax.jit(loss_of_logit) if jit else loss_of_logit
+        gfun = jax.jit(jax.grad(loss_of_logit)) if jit \
+            else jax.grad(loss_of_logit)
+        for logit in (25.0, 120.0, -120.0):  # sigmoid == exactly 1/0
+            for t in (0.0, 1.0):
+                v = float(val(logit, t))
+                g = float(gfun(logit, t))
+                assert np.isfinite(v), (jit, logit, t, v)
+                assert np.isfinite(g), (jit, logit, t, g)

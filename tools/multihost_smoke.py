@@ -11,7 +11,12 @@ Launched by tests/test_multihost.py as:
     python tools/multihost_smoke.py <coordinator> <num_procs> <proc_id>
 """
 
+import os
 import sys
+
+# repo-root import bootstrap (python tools/x.py puts tools/ on sys.path,
+# not the repo root; the in-process catgen imports below need this)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 coordinator, nproc, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
 
@@ -27,6 +32,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
 
 from catgen import dist, nn  # noqa: E402
 from catgen.train import gan  # noqa: E402
+
 
 assert jax.process_count() == nproc, jax.process_count()
 assert jax.device_count() == 2 * nproc

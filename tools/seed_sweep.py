@@ -34,6 +34,12 @@ import subprocess
 import sys
 import time
 
+# repo-root import bootstrap (python tools/x.py puts tools/ on
+# sys.path, not the repo root; every in-process catgen import
+# needs this — the bcefix3 sweep crashed post-run without it)
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 
 TIMEOUT_RC = -1000  # sentinel: stage exceeded --stage-timeout
 
