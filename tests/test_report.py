@@ -59,9 +59,12 @@ def test_report_renders(tmp_path, collapsed):
     assert "<polyline" in html and "data:image/png;base64," in html
     assert "V rating" in html
     if collapsed:
-        # probe_pinned fires first in this stream (viz at ep 100/105/110
-        # vs d_runaway's 15-epoch persistence)
-        assert "collapse detected: probe_pinned" in html
+        # saturated fires first in this stream (viz at ep 100/105/110 vs
+        # d_runaway's 15-epoch persistence). The probes here pin HIGH
+        # (1.0/1.0) with acc_d=1.0, which the direction-aware probe_pinned
+        # rule deliberately ignores — pinned-HIGH only counts with
+        # degenerate acc_d (round-4 false-positive fix, commit 33c5220).
+        assert "collapse detected: saturated at epoch 110" in html
     else:
         assert "no collapse signature" in html
 
