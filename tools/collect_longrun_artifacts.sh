@@ -24,6 +24,8 @@ cp "$RUN"/samples/run0_best64.png "$RUN"/samples/run0_worst64.png \
    "$OUT/samples/" 2>/dev/null || cp "$RUN"/run0_*.png "$OUT/samples/" 2>/dev/null || true
 # BASELINE statistics report
 python -m catgen.cli.eval_quality --save "$RUN" --out "$OUT/quality_report.json"
+# final checkpoint, optimizer-stripped (loads via --rebuildOptstate)
+python tools/slim_ckpt.py "$RUN/adversarial.ckpt" "$OUT/adversarial_slim.ckpt"
 # V pseudo-validation curve from the training metrics
 python - "$RUN" "$OUT" <<'EOF'
 import json, sys
