@@ -350,3 +350,19 @@ def test_trajectory_bcefix_s1_nan_fires_immediately():
         os.path.join(TRAJ, "bcefix_s1_nan_ep2.jsonl.gz"))
     assert rep["collapsed"] and rep["reason"] == "nan"
     assert rep["fired_epoch"] == 2
+
+
+def test_trajectory_rep750_s1_far_from_data_fires():
+    """Round-5 replication attempt (runs/rep750/ma1.01_s1): the corpus4k
+    seed-1 recipe that trained 750/750 healthy before the machine reset
+    collapsed at ep165 on the post-reset recompile — same seed, same
+    corpus, different XLA rounding — confirming trajectory divergence
+    across compiles and the lottery surviving the logits criterion
+    (QUALITY.md round 5). Grids show blob regime vs the healthy run's
+    proto-faces at the same epoch; nn_l2_ratio 1.6-1.9 over three
+    consecutive viz records while std/sat/probes stay in-band, so
+    far_from_data is the ONLY rule that can catch it."""
+    rep = _scan("rep750_s1_far165.jsonl.gz")
+    assert rep["collapsed"]
+    assert rep["reason"] == "far_from_data"
+    assert rep["fired_epoch"] == 165
